@@ -57,8 +57,13 @@ def sigmoid_beta_schedule(
 
     steps = timesteps + 1
     t = np.linspace(0, timesteps, steps, dtype=np.float64) / timesteps
-    v_start = _sigmoid(np.float64(start) / tau)
-    v_end = _sigmoid(np.float64(end) / tau)
+    # The endpoint sigmoids are evaluated in float32: the reference builds them
+    # via torch.tensor(start/tau).sigmoid(), and torch.tensor(float) defaults
+    # to float32 (denoising_diffusion_pytorch.py:127-128). The last beta of the
+    # sigmoid1 variant lands just below the 0.999 clip only under this rounding,
+    # so we reproduce it exactly.
+    v_start = np.float64(_sigmoid(np.float32(start / tau)).astype(np.float32))
+    v_end = np.float64(_sigmoid(np.float32(end / tau)).astype(np.float32))
     alphas_cumprod = (-_sigmoid((t * (end - start) + start) / tau) + v_end) / (
         v_end - v_start
     )
