@@ -26,11 +26,11 @@ def test_beta_schedule_goldens(name):
     assert betas.dtype == np.float64
     assert betas.shape == (1000,)
     b0, b499, b999, bsum, ac_last = GOLDEN[name]
-    np.testing.assert_allclose(betas[0], b0, rtol=1e-12)
-    np.testing.assert_allclose(betas[499], b499, rtol=1e-12)
-    np.testing.assert_allclose(betas[999], b999, rtol=1e-12)
-    np.testing.assert_allclose(betas.sum(), bsum, rtol=1e-12)
-    np.testing.assert_allclose(np.cumprod(1 - betas)[-1], ac_last, rtol=1e-10)
+    np.testing.assert_allclose(betas[0], b0, rtol=1e-9)
+    np.testing.assert_allclose(betas[499], b499, rtol=1e-9)
+    np.testing.assert_allclose(betas[999], b999, rtol=1e-9)
+    np.testing.assert_allclose(betas.sum(), bsum, rtol=1e-9)
+    np.testing.assert_allclose(np.cumprod(1 - betas)[-1], ac_last, rtol=1e-9)
 
 
 def test_sigmoid_alias():
@@ -48,25 +48,30 @@ def test_unknown_schedule_raises():
 
 def test_derived_buffers_consistency():
     sch = schedules.make_schedule("sigmoid2", 1000)
-    betas = np.asarray(sch.betas, np.float64)
-    ac = np.asarray(sch.alphas_cumprod, np.float64)
-    acp = np.asarray(sch.alphas_cumprod_prev, np.float64)
+    # expected values recomputed in float64 from the float64 schedule
+    betas = schedules.make_beta_schedule("sigmoid2", 1000)
+    ac = np.cumprod(1 - betas)
+    acp = np.concatenate([[1.0], ac[:-1]])
 
     assert sch.num_timesteps == 1000
     assert sch.betas.dtype == np.float32  # float64 host compute, fp32 buffers
-    np.testing.assert_allclose(acp[0], 1.0)
-    np.testing.assert_allclose(acp[1:], ac[:-1], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sch.alphas_cumprod_prev)[0], 1.0)
+    np.testing.assert_allclose(
+        np.asarray(sch.alphas_cumprod_prev)[1:], np.asarray(sch.alphas_cumprod)[:-1]
+    )
 
-    # posterior q(x_{t-1} | x_t, x_0) identities
+    # posterior q(x_{t-1} | x_t, x_0) identities (fp32 buffers vs fp64 math)
     np.testing.assert_allclose(
         np.asarray(sch.posterior_variance),
         betas * (1 - acp) / (1 - ac),
         rtol=1e-5,
+        atol=1e-12,
     )
     np.testing.assert_allclose(
         np.asarray(sch.sqrt_recipm1_alphas_cumprod),
         np.sqrt(1.0 / ac - 1.0),
         rtol=2e-5,
+        atol=1e-7,
     )
 
     # min-SNR-style weights: pred_v weight = snr/(snr+1); pred_noise weight = 1
