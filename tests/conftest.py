@@ -8,6 +8,11 @@ import os
 import sys
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# persistent compile cache: the CI box has one CPU core; recompiling the
+# UNets on every pytest run dominates wall-clock otherwise
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/noisediff_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_ENABLE_XLA_CACHES", "all")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
