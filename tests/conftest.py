@@ -7,7 +7,10 @@ with JAX_PLATFORMS=cpu.
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# NOTE: the environment pre-sets JAX_PLATFORMS=axon (the tunneled TPU) and the
+# axon plugin ignores the env var, so the override must go through jax.config
+# (below) — otherwise every test op round-trips through the TPU tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 # persistent compile cache: the CI box has one CPU core; recompiling the
 # UNets on every pytest run dominates wall-clock otherwise
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/noisediff_jax_cache")
@@ -20,3 +23,9 @@ if "xla_force_host_platform_device_count" not in _flags:
     ).strip()
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402  (must come after the env setup above)
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for mesh tests"
