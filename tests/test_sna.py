@@ -59,7 +59,7 @@ def test_apply_sna_statistics():
 
     # sample 0: clean shifted deterministically by dy = clean * wb
     dy = 0.2 * np.array([0.5, 0.25, 0.4, 0.25])
-    np.testing.assert_allclose(clean2[0].mean(axis=(0, 1)), 0.2 + dy, rtol=1e-5)
+    np.testing.assert_allclose(clean2[0].mean(axis=(0, 1)), 0.2 + dy, rtol=1e-4)
     # noisy shifted stochastically with matching mean (Poisson mean == lam)
     dn_mean = noisy2[0].mean(axis=(0, 1)) - 0.25
     np.testing.assert_allclose(dn_mean, dy, rtol=0.05)
