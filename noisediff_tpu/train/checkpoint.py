@@ -1,0 +1,93 @@
+"""Checkpoint save/restore via orbax, plus component-file semantics.
+
+Parity target: reference save/load (trainer_diffusion.py:333-364): one file
+per component per epoch ('{net|ema|optimizer_G|scheduler}_{epoch}.pth'),
+EMA snapshots save the averaged model itself, loads tolerate the DDP
+'module.' prefix. Here:
+
+  * components map to orbax directories '{name}_{epoch}' under snapshot_dir;
+  * 'net' = params, 'ema' = EMA params (the averaged weights, like the
+    reference's ema_model), 'optimizer_G' = opt_state + step;
+  * torch '.pth' checkpoints are imported through train/torch_import.py when
+    a load path ends with .pth (so reference-pretrained weights validate the
+    rebuild).
+"""
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+
+try:
+    import orbax.checkpoint as ocp
+
+    HAS_ORBAX = True
+except Exception:  # pragma: no cover
+    ocp = None
+    HAS_ORBAX = False
+
+
+def _to_numpy_tree(tree):
+    return jax.tree.map(lambda x: np.asarray(x), tree)
+
+
+def save_component(snapshot_dir: str, name: str, epoch, tree: Any) -> str:
+    """Save one component ('net', 'ema', 'optimizer_G', ...) for `epoch`."""
+    path = os.path.abspath(os.path.join(snapshot_dir, f"{name}_{epoch}"))
+    tree = _to_numpy_tree(tree)
+    if HAS_ORBAX:
+        ckpt = ocp.StandardCheckpointer()
+        ckpt.save(path, tree, force=True)
+        ckpt.wait_until_finished()
+    else:  # flat-npz fallback
+        flat, treedef = jax.tree_util.tree_flatten_with_path(tree), None
+        paths = {jax.tree_util.keystr(k): v for k, v in flat[0]}
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(path + ".npz", **paths)
+    return path
+
+
+def load_component(path: str, like: Optional[Any] = None) -> Any:
+    """Restore a component saved by save_component, or import a torch .pth."""
+    if path.endswith(".pth") or path.endswith(".pt"):
+        from .torch_import import load_torch_state_dict
+
+        return load_torch_state_dict(path)
+    if HAS_ORBAX:
+        ckpt = ocp.StandardCheckpointer()
+        if like is not None:
+            target = jax.tree.map(
+                lambda x: ocp.utils.to_shape_dtype_struct(x)
+                if hasattr(ocp.utils, "to_shape_dtype_struct")
+                else jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+                _to_numpy_tree(like),
+            )
+            return ckpt.restore(os.path.abspath(path), target)
+        return ckpt.restore(os.path.abspath(path))
+    data = np.load(path + ".npz", allow_pickle=True)
+    return dict(data)
+
+
+def latest_epoch(snapshot_dir: str, name: str = "net") -> Optional[str]:
+    """Find the newest '{name}_{epoch}' snapshot (for auto-resume)."""
+    if not os.path.isdir(snapshot_dir):
+        return None
+    best = None
+    for entry in os.listdir(snapshot_dir):
+        if entry.startswith(name + "_"):
+            tag = entry[len(name) + 1 :].removesuffix(".npz")
+            best = max(best, (tag == "final", _as_int(tag), tag)) if best else (
+                tag == "final",
+                _as_int(tag),
+                tag,
+            )
+    return best[2] if best else None
+
+
+def _as_int(tag: str) -> int:
+    try:
+        return int(tag)
+    except ValueError:
+        return -1
