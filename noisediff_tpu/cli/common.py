@@ -1,0 +1,76 @@
+"""Shared CLI plumbing for the four entry points.
+
+Parity target: the env/dist/logging boilerplate every reference CLI repeats
+(train_diffusion.py:116-156): seeding, distributed setup, save-folder
+layout, logger, print_args. The reference's GPU/NCCL knobs map to their
+TPU-native equivalents:
+
+  --gpu_ids        accepted for CLI compatibility; device selection is
+                   owned by the jax runtime (all local TPU chips are used)
+  --launcher       'none' | 'pytorch' (accepted alias) — multi-host runs
+                   initialise jax.distributed from the standard TPU env
+                   instead of NCCL RANK/WORLD_SIZE rendezvous
+"""
+from __future__ import annotations
+
+import logging
+import os
+import random
+import time
+
+import numpy as np
+
+from ..utils.logging import print_args, setup_logger
+
+
+def set_random_seed(seed: int) -> None:
+    random.seed(seed)
+    np.random.seed(seed)
+    # device-side RNG is explicit PRNGKey(seed) threading — no global to seed
+
+
+def add_device_flags(parser) -> None:
+    parser.add_argument("--gpu_ids", type=str, default="0",
+                        help="accepted for reference-CLI compatibility; "
+                             "jax owns device selection on TPU")
+    parser.add_argument("--launcher", choices=["none", "pytorch", "jax"],
+                        default="none", help="job launcher")
+    parser.add_argument("--local_rank", type=int, default=0)
+    parser.add_argument("--mixed_precision", action="store_true", default=True)
+    parser.add_argument("--no_mixed_precision", dest="mixed_precision",
+                        action="store_false")
+
+
+def init_distributed(args) -> None:
+    """Multi-host setup: jax.distributed from the TPU environment (replaces
+    dist.init_process_group('nccl') — train_diffusion.py:18-25)."""
+    if args.launcher == "none":
+        args.dist = False
+        args.rank = -1
+        args.world_size = 1
+        print("Disabled distributed training.")
+        return
+    import jax
+
+    if args.launcher in ("pytorch", "jax"):
+        # 'pytorch' accepted as an alias so reference command lines run as-is
+        if os.environ.get("COORDINATOR_ADDRESS") or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+            jax.distributed.initialize()
+        args.dist = jax.process_count() > 1
+        args.world_size = jax.process_count()
+        args.rank = jax.process_index() if args.dist else -1
+
+
+def setup_run_dirs(args, with_logger: bool = True) -> None:
+    args.save_folder = os.path.join(args.save_folder, args.name)
+    args.vis_save_dir = os.path.join(args.save_folder, "vis")
+    args.snapshot_save_dir = os.path.join(args.save_folder, "snapshot")
+    if getattr(args, "rank", -1) <= 0:
+        os.makedirs(args.vis_save_dir, exist_ok=True)
+        os.makedirs(args.snapshot_save_dir, exist_ok=True)
+        if with_logger:
+            log_file = os.path.join(
+                args.save_folder, time.strftime("%Y%m%d_%H%M%S") + ".log"
+            )
+            setup_logger(log_file)
+    print_args(args)

@@ -177,14 +177,13 @@ class NoiseImageGenerationDataset(_EpochSeeded):
         seed: int = 0,
         max_train_pairs: int = 20,
         n_total_clean: int = 30,
-        frame_hw: Tuple[int, int] = (manifest.SID_PACKED_H, manifest.SID_PACKED_W),
+        frame_hw: Optional[Tuple[int, int]] = None,
     ):
         super().__init__(seed)
         self.paths = paths
         self.crop_size = crop_size
         self.iso_value = int(iso_value)
         self.ratio_value = float(ratio_value)
-        self.frame_hw = frame_hw
 
         train = [
             e
@@ -221,7 +220,13 @@ class NoiseImageGenerationDataset(_EpochSeeded):
         chosen = list(rng.choice(pool, size=k, replace=False)) if k else []
         self.gt_list = [os.path.join(paths.long_dir(), n) for n in chosen]
 
-        self.coord_list = manifest.patch_grid(*frame_hw, ps=crop_size)
+        # the reference hardcodes the SID packed frame (dataset.py:203);
+        # deriving it from the first clean frame generalises to other sensors
+        if frame_hw is None and self.gt_list:
+            h, w, _ = load_packed(self.gt_list[0]).shape
+            frame_hw = (h, w)
+        self.frame_hw = frame_hw or (manifest.SID_PACKED_H, manifest.SID_PACKED_W)
+        self.coord_list = manifest.patch_grid(*self.frame_hw, ps=crop_size)
         self.patch_per_img = len(self.coord_list)
 
     def __len__(self) -> int:
@@ -258,12 +263,11 @@ class GenDarkFrameDataset(_EpochSeeded):
         paths: DataPaths,
         crop_size: int,
         seed: int = 0,
-        frame_hw: Tuple[int, int] = (manifest.SID_PACKED_H, manifest.SID_PACKED_W),
+        frame_hw: Optional[Tuple[int, int]] = None,
     ):
         super().__init__(seed)
         self.paths = paths
         self.crop_size = crop_size
-        self.frame_hw = frame_hw
 
         seen = set()
         self.entries: List[manifest.SidEntry] = []
@@ -273,7 +277,12 @@ class GenDarkFrameDataset(_EpochSeeded):
                 seen.add(key)
                 self.entries.append(e)
 
-        self.coord_list = manifest.patch_grid(*frame_hw, ps=crop_size)
+        if frame_hw is None and self.entries:
+            gt = os.path.join(paths.data_folder, self.entries[0].gt_path)
+            h, w, _ = load_packed(gt).shape
+            frame_hw = (h, w)
+        self.frame_hw = frame_hw or (manifest.SID_PACKED_H, manifest.SID_PACKED_W)
+        self.coord_list = manifest.patch_grid(*self.frame_hw, ps=crop_size)
         self.patch_per_img = len(self.coord_list)
 
     def __len__(self) -> int:
@@ -299,7 +308,6 @@ class GenDarkFrameDataset(_EpochSeeded):
 # Denoising-stage datasets
 # ---------------------------------------------------------------------------
 
-_SYNTH_PATCH = 512  # generated patches are 512x512 (dataset_denoising.py:137)
 
 
 class SyntheticNoisDiffDenoisingDataset(_EpochSeeded):
@@ -348,12 +356,13 @@ class SyntheticNoisDiffDenoisingDataset(_EpochSeeded):
 
     def _remove_darkshading(self, noisy_hwc, iso, ratio, x, y):
         """HWC mirror of dataset_denoising.py:80-118."""
+        ph, pw = noisy_hwc.shape[:2]
         bayer = np_unpack_bayer(noisy_hwc)
         bayer = bayer / ratio
         bayer = np.clip(bayer * SCALE + 512.0, 0.0, 16383.0)
         ds = self.darkshading.get(iso)
         bx, by = 2 * x, 2 * y
-        bayer = bayer - ds[by : by + 2 * _SYNTH_PATCH, bx : bx + 2 * _SYNTH_PATCH]
+        bayer = bayer - ds[by : by + 2 * ph, bx : bx + 2 * pw]
         out = np_pack_bayer(bayer)
         out = np.maximum(out - 512.0, 0.0) / SCALE
         return np.clip(out * ratio, 0.0, 1.0)
@@ -362,15 +371,16 @@ class SyntheticNoisDiffDenoisingDataset(_EpochSeeded):
         clean_name, noise_path, x, y, iso, ratio = self.pair_list[idx]
         rng = self.rng(idx)
 
-        clean_full = self.cache.get(self.clean_paths[clean_name])
-        clean = np.asarray(
-            clean_full[y : y + _SYNTH_PATCH, x : x + _SYNTH_PATCH], np.float32
-        )
-
         noise = np.load(noise_path)
-        if noise.ndim == 3 and noise.shape[0] == 4:  # tolerate CHW exports
+        if noise.ndim == 3 and noise.shape[0] == 4:  # reference CHW export
             noise = noise.transpose(1, 2, 0)
         noise = np.clip(noise, -1.0, 1.0).astype(np.float32)
+
+        # the generated-patch size is carried by the npy itself (512 in the
+        # shipped pipeline — dataset_denoising.py:137 hardcodes it)
+        ph, pw = noise.shape[:2]
+        clean_full = self.cache.get(self.clean_paths[clean_name])
+        clean = np.asarray(clean_full[y : y + ph, x : x + pw], np.float32)
         noisy = np.clip(noise + clean, 0.0, 1.0)
         clean = np.clip(clean, 0.0, 1.0)
 

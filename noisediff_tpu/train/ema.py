@@ -32,7 +32,11 @@ class EmaState:
 
     @classmethod
     def create(cls, params):
-        return cls(params=jax.tree.map(jnp.asarray, params), step=jnp.zeros((), jnp.int32))
+        # materialise fresh buffers: sharing the online params' buffers would
+        # make jit donation see the same buffer twice (donate(a), donate(a))
+        return cls(
+            params=jax.tree.map(jnp.copy, params), step=jnp.zeros((), jnp.int32)
+        )
 
 
 def ema_update(

@@ -1,0 +1,347 @@
+"""Stage-1 trainer: the conditional noise-diffusion model.
+
+Parity target: reference `models/trainer_diffusion.py` (Trainer :33-364).
+Same lifecycle — dataset by name, network by --net_name, EMA(beta .995,
+update_after_step 500, update_every 20), GaussianDiffusion(crop_size, T,
+schedule, objective), Adam + per-epoch cosine LR, epoch loop with rank-0
+logging/snapshots — re-expressed TPU-native:
+
+  * one jitted train step (gradients + Adam + EMA fused, batch sharded over
+    the data mesh axis; the DDP all-reduce is implicit in jit partitioning);
+  * host loop only feeds sharded batches and sets the per-epoch LR;
+  * .test() is the bulk-generation job (trainer_diffusion.py:240-325): the
+    reference's 1000-step Python sampling loop becomes one jitted lax.scan
+    per batch, and npy export runs on a background writer thread so disk IO
+    overlaps device compute. Export keeps the reference's CHW .npy layout
+    and 'clean+noisy+x_y.npy' naming (the stage-2 dataset contract).
+"""
+from __future__ import annotations
+
+import logging
+import os
+import queue
+import threading
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import data_axis_size, paths_from_args
+from ..data.datasets import DATASETS
+from ..data.loader import DataLoader, create_dataloader
+from ..diffusion import GaussianDiffusion
+from ..models import define_network
+from ..ops.schedules import make_schedule
+from ..parallel import make_mesh, replicated, shard_batch
+from ..utils.logging import ScalarLogger
+from ..utils.profiling import StepTimer
+from . import checkpoint as ckpt
+from .schedules import cosine_epoch_lr
+from .state import (
+    create_train_state,
+    make_diffusion_train_step,
+    make_optimizer,
+    set_learning_rate,
+)
+from .torch_import import import_torch_params
+
+
+def _param_count(params) -> float:
+    return sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params)) / 1e6
+
+
+class Trainer:
+    def __init__(self, args):
+        self.args = args
+        self.paths = paths_from_args(args)
+        self.rank = getattr(args, "rank", -1)
+        seed = getattr(args, "random_seed", 0)
+        self.rng = jax.random.PRNGKey(seed)
+
+        mixed = getattr(args, "mixed_precision", True)
+        self.compute_dtype = jnp.bfloat16 if mixed else None
+
+        ## datasets / loaders (dataset picked by name, like the reference's
+        ## importlib plugin system — models/trainer_diffusion.py:42)
+        if args.phase == "train":
+            ds_cls = DATASETS[args.trainset]
+            self.train_dataset = ds_cls(self.paths, args.crop_size, seed=seed)
+            self.train_dataloader = create_dataloader(
+                self.train_dataset,
+                phase="train",
+                batch_size=args.batch_size,
+                num_workers=args.num_workers,
+                dist=getattr(args, "dist", False),
+                world_size=getattr(args, "world_size", 1),
+                rank=max(self.rank, 0),
+                seed=seed,
+            )
+        else:
+            ds_cls = DATASETS[args.testset]
+            kwargs = {}
+            if args.testset == "NoiseImageGenerationDataset":
+                kwargs = dict(iso_value=args.iso_value, ratio_value=args.ratio_value)
+            self.test_dataset = ds_cls(self.paths, args.crop_size, seed=seed, **kwargs)
+            self.test_dataloader = DataLoader(
+                self.test_dataset,
+                batch_size=args.batch_size,
+                shuffle=False,
+                num_workers=args.num_workers,
+            )
+
+        ## network + diffusion core
+        self.model = define_network(args.net_name, args, dtype=self.compute_dtype)
+        self.params = self._init_params(args)
+
+        def apply_fn(params, x, t, condition):
+            return self.model.apply({"params": params}, x, t, condition)
+
+        self.diffusion = GaussianDiffusion(
+            apply_fn=apply_fn,
+            schedule=make_schedule(args.beta_schedule, args.diffusion_steps),
+            image_size=args.crop_size,
+            objective=args.diffusion_objective,
+            auto_normalize=getattr(args, "auto_normalize", False),
+            sampling_timesteps=getattr(args, "sampling_timesteps", None),
+        )
+
+        ## mesh: 1-D data axis over local devices
+        ndev = jax.local_device_count()
+        dp = data_axis_size(args.batch_size, ndev)
+        self.mesh = make_mesh({"data": dp}, devices=jax.devices()[:dp])
+        if dp < ndev and self.rank <= 0:
+            logging.warning(
+                "batch_size %d not divisible by %d devices; using %d-way data parallel",
+                args.batch_size, ndev, dp,
+            )
+
+        if args.resume:
+            self.load_networks("net", args.resume)
+
+        if self.rank <= 0:
+            logging.info("generator parameters: %f", _param_count(self.params))
+
+        if args.phase == "train":
+            self.optimizer = make_optimizer(getattr(args, "weight_decay", 0.0))
+            params = jax.device_put(self.params, replicated(self.mesh))
+            self.state = create_train_state(params, self.optimizer, with_ema=True)
+            self.train_step = make_diffusion_train_step(
+                self.diffusion,
+                self.optimizer,
+                generation_result=getattr(args, "generation_result", "noise"),
+            )
+            if getattr(args, "resume_optim", ""):
+                restored = ckpt.load_component(args.resume_optim, like=self.state.opt_state)
+                self.state = self.state.replace(opt_state=restored)
+
+        self._sample_fn_cache = {}
+
+    # ------------------------------------------------------------------
+    def _init_params(self, args):
+        rng = jax.random.fold_in(self.rng, 123)
+        s = args.crop_size
+        x = jnp.zeros((1, s, s, 4), jnp.float32)
+        t = jnp.zeros((1,), jnp.int32)
+        cond = {
+            "clean_img": jnp.zeros((1, s, s, 4), jnp.float32),
+            "position": jnp.zeros((1, s, s, 2), jnp.float32),
+            "iso_ratio_idx": jnp.zeros((1,), jnp.int32),
+        }
+        return jax.jit(self.model.init)(rng, x, t, cond)["params"]
+
+    def _prepare(self, batch):
+        """Host batch -> device, NHWC, sharded over the data axis (replaces
+        prepare()'s .to(device) — trainer_diffusion.py:133-138, including the
+        condition tensors the reference leaves to DataParallel scatter)."""
+        device_batch = {}
+        for key in ("noise", "noisy_img", "clean_img", "coord"):
+            if key in batch:
+                device_batch[key] = batch[key]
+        if "iso_ratio_idx" in batch:
+            device_batch["iso_ratio_idx"] = batch["iso_ratio_idx"]
+        return shard_batch(self.mesh, device_batch)
+
+    # ------------------------------------------------------------------
+    def train(self):
+        args = self.args
+        if self.rank <= 0:
+            logging.info("training on %s", args.trainset)
+            logging.info("%d training samples", len(self.train_dataset))
+            logging.info("the init lr: %f", args.lr)
+
+        tb = None
+        if getattr(args, "use_tb_logger", False) and self.rank <= 0:
+            tb = ScalarLogger(args.save_folder.replace("weights", "tb_logger"))
+
+        steps = 0
+        timer = StepTimer()
+        rng_train = jax.random.fold_in(self.rng, 1)
+
+        for epoch in range(args.start_iter, args.max_iter):
+            lr = cosine_epoch_lr(args.lr, args.max_iter, epoch)
+            self.state = self.state.replace(
+                opt_state=set_learning_rate(self.state.opt_state, lr)
+            )
+            logging.info("current_lr: %f", lr)
+            self.train_dataloader.set_epoch(epoch)
+
+            for j, batch in enumerate(self.train_dataloader):
+                device_batch = self._prepare(batch)
+                self.state, metrics = self.train_step(
+                    self.state, device_batch, rng_train
+                )
+                timer.tick()
+
+                if j % args.log_freq == 0:
+                    loss = float(metrics["diffusion_loss"])
+                    if self.rank <= 0:
+                        logging.info(
+                            "epoch:%03d step:%04d  diffusion_loss:%.06f "
+                            "loss_sum:%f %4.6fs/batch",
+                            epoch, j, loss, loss, timer.rate_and_reset(),
+                        )
+                if tb is not None and steps % args.vis_step_freq == 0:
+                    tb.add_scalar(
+                        "diffusion_loss", float(metrics["diffusion_loss"]), steps
+                    )
+                    tb.add_scalar("lr", lr, steps)
+                steps += 1
+
+            if epoch % args.save_epoch_freq == 0 and self.rank <= 0:
+                logging.info("Saving state, epoch: %d iter:0", epoch)
+                self.save_networks("net", epoch)
+                self.save_networks("ema", epoch)
+
+        if self.rank <= 0:
+            if tb is not None:
+                tb.close()
+            self.save_networks("net", "final")
+            self.save_networks("ema", "final")
+            logging.info("The training stage is over!!!")
+
+    # ------------------------------------------------------------------
+    def _sample_jit(self, batch_size: int):
+        """Cache one compiled sampler per batch size."""
+        if batch_size not in self._sample_fn_cache:
+            gd = self.diffusion
+            shape = (batch_size, self.args.crop_size, self.args.crop_size, 4)
+
+            def fn(params, rng, condition):
+                if gd.is_ddim_sampling:
+                    return gd.ddim_sample(params, rng, shape, condition)
+                return gd.p_sample_loop(params, rng, shape, condition)
+
+            self._sample_fn_cache[batch_size] = jax.jit(fn)
+        return self._sample_fn_cache[batch_size]
+
+    def test(self):
+        """Bulk noise generation with npy export (trainer_diffusion.py:240-325)."""
+        args = self.args
+        save_path = args.save_folder
+        npy_path = os.path.join(save_path, "npy")
+        out_dir = os.path.join(npy_path, "generated")
+        os.makedirs(out_dir, exist_ok=True)
+
+        # background npy writer: disk IO overlaps the next batch's scan
+        write_q: "queue.Queue" = queue.Queue(maxsize=64)
+
+        def writer():
+            while True:
+                item = write_q.get()
+                if item is None:
+                    return
+                name, arr = item
+                np.save(os.path.join(out_dir, name), arr)
+
+        wt = threading.Thread(target=writer, daemon=True)
+        wt.start()
+
+        sample_fn = self._sample_jit(args.batch_size)
+        params = self.params
+        rng = jax.random.fold_in(self.rng, 999)
+        npy_num = 0
+        t0 = time.time()
+
+        for bidx, batch in enumerate(self.test_dataloader):
+            n = batch["coord"].shape[0]
+            bs = args.batch_size
+
+            def pad(x):
+                if x.shape[0] == bs:
+                    return x
+                reps = [x[-1:]] * (bs - x.shape[0])
+                return np.concatenate([x] + reps, axis=0)
+
+            coord = pad(batch["coord"])
+            if getattr(args, "dark_frame", False) or "clean_img" not in batch:
+                clean = np.zeros(coord.shape[:3] + (4,), np.float32)
+            else:
+                clean = pad(batch["clean_img"])
+            iso_ratio_idx = pad(batch["iso_ratio_idx"])
+
+            condition = {
+                "clean_img": jnp.asarray(clean),
+                "iso_ratio_idx": jnp.asarray(iso_ratio_idx),
+                "position": jnp.asarray(coord)
+                if getattr(args, "positional_encoding", True)
+                else jnp.zeros_like(jnp.asarray(coord)),
+            }
+            rng_b = jax.random.fold_in(rng, bidx)
+            output = sample_fn(params, rng_b, condition)
+            output = np.asarray(output[:n])  # drop padding
+
+            if getattr(args, "save_npy", False):
+                for i in range(n):
+                    image_coord = batch["image_coord"][i]
+                    if not getattr(args, "dark_frame", False):
+                        clean_name = batch["clean_name"][i].split(".ARW")[0].split(".npy")[0]
+                        noisy_name = batch.get("noisy_name", batch["clean_name"])[i]
+                        noisy_name = noisy_name.split(".ARW")[0].split(".npy")[0]
+                        save_name = f"{clean_name}+{noisy_name}+{image_coord}.npy"
+                    else:
+                        iso_i = int(batch["iso"][i])
+                        ratio_i = int(batch["ratio"][i])
+                        save_name = f"{npy_num:05d}_{iso_i}_{ratio_i}+{image_coord}.npy"
+                    # reference-compatible CHW layout (trainer_diffusion.py:317)
+                    write_q.put((save_name, output[i].transpose(2, 0, 1)))
+                    npy_num += 1
+
+        write_q.put(None)
+        wt.join()
+        if self.rank <= 0:
+            logging.info(
+                "generated %d patches in %.1fs", npy_num, time.time() - t0
+            )
+
+    # ------------------------------------------------------------------
+    def save_networks(self, net_name: str, epoch):
+        snapshot_dir = getattr(
+            self.args, "snapshot_save_dir", os.path.join(self.args.save_folder, "snapshot")
+        )
+        os.makedirs(snapshot_dir, exist_ok=True)
+        if net_name == "net":
+            tree = self.state.params if hasattr(self, "state") else self.params
+        elif net_name == "ema":
+            # like the reference, the EMA snapshot stores the averaged model
+            # itself (trainer_diffusion.py:354-355)
+            tree = self.state.ema.params
+        elif net_name == "optimizer_G":
+            tree = self.state.opt_state
+        else:
+            raise ValueError(net_name)
+        ckpt.save_component(snapshot_dir, net_name, epoch, tree)
+
+    def load_networks(self, net_name: str, resume: str, strict: bool = True):
+        if resume.endswith(".pth") or resume.endswith(".pt"):
+            sd = ckpt.load_component(resume)
+            self.params = import_torch_params(
+                jax.tree.map(np.asarray, self.params), sd, strict=strict
+            )
+        else:
+            self.params = ckpt.load_component(resume, like=self.params)
+        if hasattr(self, "state"):
+            self.state = self.state.replace(
+                params=jax.device_put(self.params, replicated(self.mesh))
+            )

@@ -161,26 +161,19 @@ def test_synthetic_denoising_dataset(tmp_path, sid_tree):
     clean_name = "00003_00_10s"
     # patch coords must fit the 32x48 packed frame; use 0_0 with patch 512 ->
     # clamp: our frames are tiny, so monkeypatch the patch size
-    import noisediff_tpu.data.datasets as dsets
-
-    old = dsets._SYNTH_PATCH
-    dsets._SYNTH_PATCH = 16
-    try:
-        noise = rng.normal(0, 0.05, size=(16, 16, 4)).astype(np.float32)
-        np.save(synth / f"{clean_name}+{clean_name}+8_4.npy", noise)
-        paths = DataPaths(
-            data_folder=sid_tree.data_folder,
-            synthetic_folder=str(tmp_path / "gen"),
-            pretrained_dir=sid_tree.pretrained_dir,
-        )
-        ds = SyntheticNoisDiffDenoisingDataset(paths, crop_size=8)
-        assert len(ds) == 1
-        s = ds[0]
-        assert s["noisy_img"].shape == (8, 8, 4)
-        assert s["iso"] == 800 and s["ratio"] == 250
-        assert (s["noisy_img"] >= 0).all() and (s["noisy_img"] <= 1).all()
-    finally:
-        dsets._SYNTH_PATCH = old
+    noise = rng.normal(0, 0.05, size=(16, 16, 4)).astype(np.float32)
+    np.save(synth / f"{clean_name}+{clean_name}+8_4.npy", noise)
+    paths = DataPaths(
+        data_folder=sid_tree.data_folder,
+        synthetic_folder=str(tmp_path / "gen"),
+        pretrained_dir=sid_tree.pretrained_dir,
+    )
+    ds = SyntheticNoisDiffDenoisingDataset(paths, crop_size=8)
+    assert len(ds) == 1
+    s = ds[0]
+    assert s["noisy_img"].shape == (8, 8, 4)
+    assert s["iso"] == 800 and s["ratio"] == 250
+    assert (s["noisy_img"] >= 0).all() and (s["noisy_img"] <= 1).all()
 
 
 def test_synthetic_dataset_accepts_chw_npy(tmp_path, sid_tree):
@@ -189,26 +182,21 @@ def test_synthetic_dataset_accepts_chw_npy(tmp_path, sid_tree):
     synth.mkdir(parents=True)
     import noisediff_tpu.data.datasets as dsets
 
-    old = dsets._SYNTH_PATCH
-    dsets._SYNTH_PATCH = 16
-    try:
-        noise = np.zeros((4, 16, 16), np.float32)
-        noise[2] = 0.25  # channel marker
-        np.save(synth / "00003_00_10s+x+0_0.npy", noise)
-        paths = DataPaths(
-            data_folder=sid_tree.data_folder,
-            synthetic_folder=str(tmp_path / "gen2"),
-            pretrained_dir=sid_tree.pretrained_dir,
-        )
-        ds = dsets.SyntheticNoisDiffDenoisingDataset(paths, crop_size=8)
-        s = ds[0]
-        clean = np.asarray(ds.cache.get(ds.clean_paths["00003_00_10s"]))[:16, :16]
-        # channel 2 got the +0.25 offset
-        assert (
-            s["noisy_img"][..., 2].mean() > s["noisy_img"][..., 0].mean()
-        ) or clean[..., 2].mean() > 0.9
-    finally:
-        dsets._SYNTH_PATCH = old
+    noise = np.zeros((4, 16, 16), np.float32)
+    noise[2] = 0.25  # channel marker
+    np.save(synth / "00003_00_10s+x+0_0.npy", noise)
+    paths = DataPaths(
+        data_folder=sid_tree.data_folder,
+        synthetic_folder=str(tmp_path / "gen2"),
+        pretrained_dir=sid_tree.pretrained_dir,
+    )
+    ds = dsets.SyntheticNoisDiffDenoisingDataset(paths, crop_size=8)
+    s = ds[0]
+    clean = np.asarray(ds.cache.get(ds.clean_paths["00003_00_10s"]))[:16, :16]
+    # channel 2 got the +0.25 offset
+    assert (
+        s["noisy_img"][..., 2].mean() > s["noisy_img"][..., 0].mean()
+    ) or clean[..., 2].mean() > 0.9
 
 
 def test_sharded_sampler():
