@@ -45,7 +45,9 @@ def build(dim, s, dtype):
         "position": jnp.zeros((b, s, s, 2), jnp.float32),
         "iso_ratio_idx": jnp.zeros((b,), jnp.int32),
     }
-    params = model.init(jax.random.PRNGKey(0), x, t, cond)["params"]
+    # jit the init: op-by-op dispatch of hundreds of param initialisers is
+    # minutes of round-trips on a tunneled TPU
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), x, t, cond)["params"]
 
     def apply_fn(p, xx, tt, condition):
         return model.apply({"params": p}, xx, tt, condition)

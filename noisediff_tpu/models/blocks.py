@@ -472,7 +472,16 @@ class Attention(nn.Module):
         qkv = Conv(hidden * 3, 1, use_bias=False, dtype=self.dtype, name="to_qkv")(y)
         qkv = qkv.reshape(b, h * w, 3, self.heads, self.dim_head)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, N, H, D)
-        out = jax.nn.dot_product_attention(q, k, v)
+        n = h * w
+        if jax.default_backend() == "tpu" and n >= 1024 and n % 256 == 0:
+            from ..ops.pallas.flash_attention import flash_attention
+
+            def bhnd(t):
+                return t.transpose(0, 2, 1, 3)
+
+            out = bhnd(flash_attention(bhnd(q), bhnd(k), bhnd(v)))
+        else:
+            out = jax.nn.dot_product_attention(q, k, v)
         out = out.reshape(b, h, w, hidden)
         return Conv(c, 1, dtype=self.dtype, name="to_out")(out)
 
