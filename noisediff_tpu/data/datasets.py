@@ -143,20 +143,26 @@ class SonyTrainDataset(_EpochSeeded):
         in_full = os.path.join(self.paths.data_folder, e.in_path)
         gt_full = os.path.join(self.paths.data_folder, e.gt_path)
 
-        input_norm = np.clip(load_packed(in_full) * e.ratio, 0.0, 1.0)
-        gt_norm = load_packed(gt_full)
-        noise = input_norm - gt_norm  # residual-noise target (dataset.py:119-122)
+        from .raw_host import decode_bayer
+        from . import native
 
-        ih, iw, _ = input_norm.shape
+        bayer_in = decode_bayer(in_full)
+        bayer_gt = decode_bayer(gt_full)
+        ih, iw = bayer_in.shape[0] // 2, bayer_in.shape[1] // 2
         x, y = self._crop(rng, ih, iw)
         cs = self.crop_size
+        # fused native kernel packs only the crop region (the reference packs
+        # the full 2848x4256 frame and then crops — dataset.py:119-128)
+        noisy, clean, noise = native.make_noise_pair(
+            bayer_in, bayer_gt, y, x, cs, cs, float(e.ratio)
+        )
         coord = crop_coord_patch(ih, iw, y, x, cs, cs)
 
         return {
-            "noise": noise[y : y + cs, x : x + cs].astype(np.float32),
+            "noise": noise,
             "iso": e.iso,
-            "noisy_img": input_norm[y : y + cs, x : x + cs].astype(np.float32),
-            "clean_img": gt_norm[y : y + cs, x : x + cs].astype(np.float32),
+            "noisy_img": noisy,
+            "clean_img": clean,
             "coord": coord.astype(np.float32),
             "iso_ratio_idx": iso_ratio_index(e.iso, e.ratio),
         }

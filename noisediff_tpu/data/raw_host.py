@@ -77,8 +77,17 @@ def decode_bayer(path: str) -> np.ndarray:
 
 
 def load_packed(path: str, rescale: bool = True) -> np.ndarray:
-    """decode + pack_raw in one host call."""
-    return np_pack_raw(decode_bayer(path), rescale=rescale)
+    """decode + pack_raw in one host call (native threaded packer when the
+    csrc library is built, numpy otherwise)."""
+    bayer = decode_bayer(path)
+    try:
+        from . import native
+
+        if native.available():
+            return native.pack_raw(bayer, rescale=rescale)
+    except Exception:
+        pass
+    return np_pack_raw(bayer, rescale=rescale)
 
 
 class PackedFrameCache:
