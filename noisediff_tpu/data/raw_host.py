@@ -152,6 +152,40 @@ def metainfo(path: str) -> Tuple[float, float]:
     return iso, expo
 
 
+def modify_raw_file(raw_file: str, tab: np.ndarray, position, out_file: str) -> None:
+    """Write a uint16 plane back into an ARW/DNG byte stream
+    (raw_util.py:324-348): the mosaic occupies the trailing l*c*2 bytes of an
+    uncompressed Sony file; everything before it is copied as the header."""
+    import rawpy  # required: needs the real file's geometry
+
+    with rawpy.imread(raw_file) as raw:
+        l, c = raw.raw_image.shape
+    with open(raw_file, "rb") as f:
+        blob = f.read()
+    mosaic = np.frombuffer(blob[-l * c * 2 :], dtype=np.uint16).reshape(l, c).copy()
+    header = blob[: -l * c * 2]
+    y, x = position
+    mosaic[y : y + tab.shape[0], x : x + tab.shape[1]] = tab
+    with open(out_file, "wb") as f:
+        f.write(header)
+        f.write(mosaic.tobytes())
+
+
+def vis_raw_file(raw_file, save_path: str, save_file: bool = True) -> np.ndarray:
+    """LibRaw postprocess to sRGB (raw_util.py:351-373)."""
+    import rawpy
+    from PIL import Image
+
+    raw = rawpy.imread(raw_file) if isinstance(raw_file, str) else raw_file
+    rgb = raw.postprocess(
+        use_camera_wb=True, half_size=False, no_auto_bright=True, output_bps=16
+    )
+    rgb = np.clip(np.float32(rgb / 65535.0) * 255.0, 0, 255)
+    if save_file:
+        Image.fromarray(rgb.astype(np.uint8)).save(save_path)
+    return rgb
+
+
 class Darkshading:
     """PMN dark-shading resources (raw_util.py:87-109).
 
