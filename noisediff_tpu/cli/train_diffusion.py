@@ -54,6 +54,8 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--diffusion_objective", default="pred_v", type=str)
     parser.add_argument("--sampling_timesteps", default=None, type=int,
                         help="enable DDIM with this many steps (< diffusion_steps)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialise ResnetBlocks (larger crops/batches)")
 
     ## dataloader setting
     parser.add_argument("--data_root", default="./", type=str)

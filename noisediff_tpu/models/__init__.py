@@ -25,7 +25,10 @@ def register(name: str):
 
 @register("NoiseDiffNet")
 def _noisediff(cfg, dtype=None):
-    return NoiseDiffNet(dim=cfg.dim, channels=cfg.inp_dim, dtype=dtype)
+    return NoiseDiffNet(
+        dim=cfg.dim, channels=cfg.inp_dim, dtype=dtype,
+        remat=getattr(cfg, "remat", False),
+    )
 
 
 @register("UNet_PosEmbV2")

@@ -51,6 +51,10 @@ class NoiseDiffNet(nn.Module):
     attn_heads: int = 4
     attn_dim_head: int = 32
     dtype: Optional[Any] = None
+    # rematerialise the ResnetBlocks in backward (jax.checkpoint): trades
+    # FLOPs for HBM, enabling larger crops/batches in training (the reference
+    # has no equivalent; 512-crop bs-4 training is HBM-bound on one chip)
+    remat: bool = False
 
     @property
     def downsample_factor(self) -> int:
@@ -97,6 +101,8 @@ class NoiseDiffNet(nn.Module):
         iso_emb = iso_embed(iso_ratio_idx)[:, None, :]  # (B, 1, 16)
         iso_emb = iso_emb.astype(x.dtype)
 
+        Res = nn.remat(ResnetBlock) if self.remat else ResnetBlock
+
         # timestep condition
         t = TimeMlp(dim, time_dim, dtype=self.dtype, name="time_mlp")(time)
 
@@ -109,7 +115,7 @@ class NoiseDiffNet(nn.Module):
             self.attn_heads, self.attn_dim_head, dtype=self.dtype, name="shot_attn"
         )(shot, iso_emb)
         shot = Mlp(dim, dim, act=_gelu, dtype=self.dtype, name="shot_mlp2")(shot)
-        shot = ResnetBlock(
+        shot = Res(
             dim, time_emb_dim=time_dim, groups=2, dtype=self.dtype, name="shot_time"
         )(shot, t)
         shot = shot + shot_res
@@ -127,12 +133,12 @@ class NoiseDiffNet(nn.Module):
         skips = []
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= num_stages - 1
-            x = ResnetBlock(
+            x = Res(
                 dim_in, time_emb_dim=time_dim, groups=self.resnet_block_groups,
                 dtype=self.dtype, name=f"downs_{ind}_block1",
             )(x, t)
             skips.append(x)
-            x = ResnetBlock(
+            x = Res(
                 dim_in, time_emb_dim=time_dim, groups=self.resnet_block_groups,
                 dtype=self.dtype, name=f"downs_{ind}_block2",
             )(x, t)
@@ -147,11 +153,11 @@ class NoiseDiffNet(nn.Module):
                 x = Conv(dim_out, 3, dtype=self.dtype, name=f"downs_{ind}_down")(x)
 
         mid_dim = dims[-1]
-        x = ResnetBlock(
+        x = Res(
             mid_dim, time_emb_dim=time_dim, groups=self.resnet_block_groups,
             dtype=self.dtype, name="mid_block1",
         )(x, t)
-        x = ResnetBlock(
+        x = Res(
             mid_dim, time_emb_dim=time_dim, groups=self.resnet_block_groups,
             dtype=self.dtype, name="mid_block2",
         )(x, t)
@@ -159,12 +165,12 @@ class NoiseDiffNet(nn.Module):
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == num_stages - 1
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(
+            x = Res(
                 dim_out, time_emb_dim=time_dim, groups=self.resnet_block_groups,
                 dtype=self.dtype, name=f"ups_{ind}_block1",
             )(x, t)
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResnetBlock(
+            x = Res(
                 dim_out, time_emb_dim=time_dim, groups=self.resnet_block_groups,
                 dtype=self.dtype, name=f"ups_{ind}_block2",
             )(x, t)
@@ -182,7 +188,7 @@ class NoiseDiffNet(nn.Module):
         )(x, pos_emb)
 
         x = jnp.concatenate([x, r], axis=-1)
-        x = ResnetBlock(
+        x = Res(
             dim, time_emb_dim=time_dim, groups=self.resnet_block_groups,
             dtype=self.dtype, name="final_res_block",
         )(x, t)

@@ -125,6 +125,26 @@ def test_registry():
         define_network("NopeNet", cfg)
 
 
+def test_noisediffnet_remat_equivalent():
+    """remat=True must not change params or outputs — only the backward's
+    memory/FLOP trade."""
+    b, s = 1, 16
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, s, s, 4))
+    t = jnp.zeros((b,), jnp.int32)
+    cond = _cond(b, s)
+    m0 = NoiseDiffNet(dim=16, remat=False)
+    m1 = NoiseDiffNet(dim=16, remat=True)
+    v0 = m0.init(jax.random.PRNGKey(0), x, t, cond)
+    out0 = m0.apply(v0, x, t, cond)
+    out1 = m1.apply(v0, x, t, cond)  # same params tree
+    np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), rtol=1e-5, atol=1e-6)
+    # gradients flow through the remat wrapper
+    g = jax.grad(lambda p: (m1.apply({"params": p}, x, t, cond) ** 2).sum())(
+        v0["params"]
+    )
+    assert np.isfinite(max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g)))
+
+
 def test_noisediffnet_bf16_forward():
     model = NoiseDiffNet(dim=16, dtype=jnp.bfloat16)
     b, s = 1, 16
