@@ -94,6 +94,15 @@ def main():
     t_opt = timed(sample, params, rng, cond)
     patches_per_sec = BATCH / t_opt
 
+    # framework extension: DPM-Solver++(2M) at 25 steps (quality-comparable
+    # to DDIM-100 in the diffusion literature; see diffusion/gaussian.py)
+    dpm_steps = int(os.environ.get("BENCH_DPM_STEPS", 25))
+    sample_dpm = jax.jit(
+        lambda p, r, c: gd.dpm_solver_sample(p, r, shape, c, sampling_timesteps=dpm_steps)
+    )
+    t_dpm = timed(sample_dpm, params, rng, cond)
+    dpm_patches_per_sec = BATCH / t_dpm
+
     # --- baseline: fp32, reference-shipped config (DDPM T=1000, bs=4) ------
     apply32, params32 = build(48, PATCH, None)
     gd32 = GaussianDiffusion(
@@ -122,6 +131,8 @@ def main():
                 "baseline": round(baseline_patches_per_sec, 4),
                 "baseline_unit": "patches/s (fp32 DDPM-1000-equivalent, bs=4, reference-shipped config)",
                 "batch_seconds": round(t_opt, 3),
+                "dpm_solver_patches_per_sec": round(dpm_patches_per_sec, 4),
+                "dpm_solver_steps": dpm_steps,
                 "device": str(dev),
             }
         )

@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--dark_frame", action="store_true")
     parser.add_argument("--sampling_timesteps", default=None, type=int,
                         help="enable DDIM with this many steps")
+    parser.add_argument("--sampler", default="auto", type=str,
+                        help="auto | ddpm | ddim | dpm (DPM-Solver++ 2M, "
+                             "framework extension: ~3-5x fewer steps than DDIM)")
 
     ## dataloader setting
     add_path_flags(parser)

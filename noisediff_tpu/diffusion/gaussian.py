@@ -294,6 +294,81 @@ class GaussianDiffusion:
         x, _ = jax.lax.scan(step, x, (idx, t_cur, alpha_next, sigma, c))
         return self.unnormalize(x)
 
+    # -- DPM-Solver++(2M) sampler (framework extension; not in the reference) --
+    def dpm_solver_sample(
+        self, params, rng, shape, condition: Condition = None,
+        sampling_timesteps: Optional[int] = None,
+    ):
+        """Second-order multistep DPM-Solver++ (arXiv:2211.01095) in the
+        data-prediction formulation. Deterministic (eta=0). Converges in
+        ~3-5x fewer steps than DDIM at matched sample quality, multiplying
+        bulk-generation throughput on top of the scan/bf16 wins.
+
+        Uses the same model_predictions head (clip_x_start=True like the
+        reference's DDIM path), so any trained checkpoint works unchanged.
+        """
+        total = self.num_timesteps
+        steps = sampling_timesteps or self.sampling_timesteps or 25
+
+        # time grid: same construction as DDIM (reference :409-411), so step
+        # counts are comparable; terminal pair handled by lambda(t=-1)=+inf
+        times = np.linspace(-1, total - 1, steps + 1).astype(np.int64)
+        times = list(reversed(times.tolist()))
+        pairs = np.array(list(zip(times[:-1], times[1:])), np.int32)
+
+        ac = np.asarray(self.schedule.alphas_cumprod, np.float64)
+
+        def lam(t_idx):  # log-SNR/2 at discrete t, with t=-1 -> clean data
+            if t_idx < 0:
+                return 60.0  # effectively +inf: sigma -> 0
+            a = np.sqrt(ac[t_idx])
+            s = np.sqrt(1.0 - ac[t_idx])
+            return np.log(a / s)
+
+        t_cur = pairs[:, 0]
+        t_next = pairs[:, 1]
+        lam_cur = np.array([lam(t) for t in t_cur])
+        lam_next = np.array([lam(t) for t in t_next])
+        lam_prev = np.concatenate([[lam_cur[0]], lam_cur[:-1]])  # lambda_{i-1}
+        h = lam_next - lam_cur
+        h_prev = np.maximum(lam_cur - lam_prev, 1e-12)
+        r = h_prev / np.maximum(np.abs(h), 1e-12)
+        alpha_next = np.sqrt(np.where(t_next < 0, 1.0, ac[np.maximum(t_next, 0)]))
+        sigma_next = np.sqrt(np.maximum(1.0 - alpha_next ** 2, 0.0))
+        sigma_cur = np.sqrt(1.0 - ac[t_cur])
+        phi = np.expm1(-h)
+
+        consts = jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(a, np.float32)),
+            (t_cur, alpha_next, sigma_next, sigma_cur, phi, r),
+        )
+
+        rng_init, _ = jax.random.split(rng)
+        x = jax.random.normal(rng_init, shape, self.sample_dtype)
+
+        def step(carry, inputs):
+            x, x0_prev, first = carry
+            i, (t, a_next, s_next, s_cur, ph, rr) = inputs
+            tb = jnp.full((shape[0],), t.astype(jnp.int32), jnp.int32)
+            _, x0 = self.model_predictions(
+                params, x, tb, condition, clip_x_start=True
+            )
+            # 2M update: D = (1 + 1/(2r)) x0 - 1/(2r) x0_prev (first step: Euler)
+            coef = 1.0 / (2.0 * jnp.maximum(rr, 1e-6))
+            d = jnp.where(first, x0, (1.0 + coef) * x0 - coef * x0_prev)
+            x_new = (s_next / jnp.maximum(s_cur, 1e-12)) * x - a_next * ph * d
+            # terminal step (sigma_next == 0): x -> x0
+            x_new = jnp.where(s_next == 0.0, x0, x_new)
+            return (x_new.astype(self.sample_dtype), x0, jnp.zeros((), bool)), None
+
+        idx = jnp.arange(len(pairs))
+        (x, _, _), _ = jax.lax.scan(
+            step,
+            (x, jnp.zeros_like(x), jnp.ones((), bool)),
+            (idx, consts),
+        )
+        return self.unnormalize(x)
+
     # -- dispatcher (:446-451) --------------------------------------------------
     def sample(self, params, rng, batch_size: int, condition: Condition = None):
         shape = (batch_size, self.image_size, self.image_size, self.channels)

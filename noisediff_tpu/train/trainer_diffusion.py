@@ -227,9 +227,12 @@ class Trainer:
         if batch_size not in self._sample_fn_cache:
             gd = self.diffusion
             shape = (batch_size, self.args.crop_size, self.args.crop_size, 4)
+            sampler = getattr(self.args, "sampler", "auto")
 
             def fn(params, rng, condition):
-                if gd.is_ddim_sampling:
+                if sampler == "dpm":
+                    return gd.dpm_solver_sample(params, rng, shape, condition)
+                if sampler == "ddim" or (sampler == "auto" and gd.is_ddim_sampling):
                     return gd.ddim_sample(params, rng, shape, condition)
                 return gd.p_sample_loop(params, rng, shape, condition)
 

@@ -1,0 +1,64 @@
+"""Separate launch overhead from device compute: time K model evals fused
+into ONE executable (lax.scan) vs K separate dispatches, zeros vs random."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/noisediff_jax_cache_tpu")
+
+import jax
+import jax.numpy as jnp
+
+from noisediff_tpu.models import NoiseDiffNet
+
+B, S, K = 8, 256, 20
+
+
+def main():
+    model = NoiseDiffNet(dim=48, dtype=jnp.bfloat16)
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (B, S, S, 4))
+    t = jnp.zeros((B,), jnp.int32)
+    cond = {
+        "clean_img": jax.random.uniform(rng, (B, S, S, 4)),
+        "position": jax.random.uniform(rng, (B, S, S, 2)),
+        "iso_ratio_idx": jnp.zeros((B,), jnp.int32),
+    }
+    params = jax.jit(model.init)(rng, x, t, cond)["params"]
+
+    def fwd(p, xx):
+        return model.apply({"params": p}, xx, t, cond)
+
+    # K evals fused in one executable
+    @jax.jit
+    def fused(p, xx):
+        def body(carry, _):
+            out = fwd(p, carry)
+            return out.astype(carry.dtype), None
+
+        out, _ = jax.lax.scan(body, xx, None, length=K)
+        return out
+
+    out = fused(params, x)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    out = fused(params, x)
+    jax.block_until_ready(out)
+    dt_fused = (time.perf_counter() - t0) / K
+    print(f"fused {K}-eval scan: {dt_fused*1e3:.2f} ms/eval")
+
+    # K separate dispatches
+    jfwd = jax.jit(fwd)
+    out = jfwd(params, x)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(K):
+        out = jfwd(params, out.astype(x.dtype))  # dependent chain, no overlap tricks
+    jax.block_until_ready(out)
+    dt_sep = (time.perf_counter() - t0) / K
+    print(f"separate dispatch chain: {dt_sep*1e3:.2f} ms/eval")
+
+
+if __name__ == "__main__":
+    main()
