@@ -39,6 +39,8 @@ def add_device_flags(parser) -> None:
     parser.add_argument("--mixed_precision", action="store_true", default=True)
     parser.add_argument("--no_mixed_precision", dest="mixed_precision",
                         action="store_false")
+    parser.add_argument("--profile", action="store_true",
+                        help="dump a jax.profiler trace of train steps 5-9")
 
 
 def init_distributed(args) -> None:

@@ -14,6 +14,24 @@ from typing import Iterator, List
 import numpy as np
 
 
+class StridedShardSampler:
+    """Unshuffled strided shard: process `rank` handles indices
+    rank, rank+world, ... — used by multi-host bulk generation so each host
+    writes a disjoint set of npy patches."""
+
+    def __init__(self, dataset_len: int, num_replicas: int = 1, rank: int = 0):
+        self.indices_list = list(range(rank, dataset_len, num_replicas))
+
+    def set_epoch(self, epoch: int) -> None:
+        pass
+
+    def __iter__(self) -> Iterator[int]:
+        return iter(self.indices_list)
+
+    def __len__(self) -> int:
+        return len(self.indices_list)
+
+
 class ShardedIterSampler:
     def __init__(
         self,

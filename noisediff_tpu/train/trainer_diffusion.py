@@ -84,11 +84,21 @@ class Trainer:
             if args.testset == "NoiseImageGenerationDataset":
                 kwargs = dict(iso_value=args.iso_value, ratio_value=args.ratio_value)
             self.test_dataset = ds_cls(self.paths, args.crop_size, seed=seed, **kwargs)
+            sampler = None
+            if getattr(args, "dist", False):
+                # multi-host generation: each process writes a disjoint
+                # strided shard of the patch grid
+                from ..data.sampler import StridedShardSampler
+
+                sampler = StridedShardSampler(
+                    len(self.test_dataset), args.world_size, max(self.rank, 0)
+                )
             self.test_dataloader = DataLoader(
                 self.test_dataset,
                 batch_size=args.batch_size,
                 shuffle=False,
                 num_workers=args.num_workers,
+                sampler=sampler,
             )
 
         ## network + diffusion core
@@ -188,6 +198,16 @@ class Trainer:
             self.train_dataloader.set_epoch(epoch)
 
             for j, batch in enumerate(self.train_dataloader):
+                # jax.profiler trace of steps 5-9 of the first epoch
+                # (--profile; the reference has no profiling story, SURVEY §5)
+                if getattr(args, "profile", False) and epoch == args.start_iter:
+                    if j == 5:
+                        jax.profiler.start_trace(
+                            os.path.join(args.save_folder, "profile")
+                        )
+                    elif j == 10:
+                        jax.profiler.stop_trace()
+
                 device_batch = self._prepare(batch)
                 self.state, metrics = self.train_step(
                     self.state, device_batch, rng_train
