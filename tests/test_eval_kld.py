@@ -22,7 +22,9 @@ def tree(tmp_path):
     for i in (1, 2):
         in_fn, gt_fn = f"{i:05d}_00_0.04s.ARW", f"{i:05d}_00_10s.ARW"
         clean = rng.integers(600, 2000, size=(H_BAYER, W_BAYER)).astype(np.float64)
-        noise_dn = rng.normal(0, 20, size=clean.shape)
+        # 1.5 DN read noise -> ~0.024 in the ratio-amplified normalised
+        # domain, well inside the [-0.1, 0.1] histogram support
+        noise_dn = rng.normal(0, 1.5, size=clean.shape)
         noisy = np.clip(clean / 250.0 + 512 * (1 - 1 / 250.0) + noise_dn, 0, 16383)
         np.save(root / "Sony" / "short" / (in_fn + ".npy"), noisy.astype(np.uint16))
         np.save(root / "Sony" / "long" / (gt_fn + ".npy"), clean.astype(np.uint16))
