@@ -230,17 +230,84 @@ class Mlp(nn.Module):
         return Conv(self.out_features, 1, dtype=self.dtype, name="fc2")(x)
 
 
+class _GNParams(nn.Module):
+    """GroupNorm parameter holder + both execution paths.
+
+    Named 'norm' inside the GroupNorm wrapper so the parameter paths stay
+    norm/norm/{scale,bias} — the layout the torch-checkpoint keymap and
+    existing snapshots expect. The fused path hands norm+FiLM+SiLU to the
+    single-pass Pallas kernel (ops/pallas/groupnorm_silu.py)."""
+
+    groups: int = 8
+    eps: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x, scale_shift=None, fuse_tail: bool = False):
+        b, h, w, c = x.shape
+        scale = self.param("scale", jax.nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", jax.nn.initializers.zeros, (c,), jnp.float32)
+
+        if fuse_tail:
+            from ..ops.pallas.groupnorm_silu import fused_groupnorm_film_silu
+
+            fs = fsh = None
+            if scale_shift is not None:
+                fs = scale_shift[0].reshape(b, c).astype(jnp.float32)
+                fsh = scale_shift[1].reshape(b, c).astype(jnp.float32)
+            out = fused_groupnorm_film_silu(
+                x.reshape(b, h * w, c), scale, bias, fs, fsh, self.groups, self.eps
+            )
+            return out.reshape(b, h, w, c)
+
+        # plain GN (torch semantics: fp32 stats, biased variance, eps inside)
+        xg = x.astype(jnp.float32).reshape(b, h, w, self.groups, c // self.groups)
+        mean = xg.mean(axis=(1, 2, 4), keepdims=True)
+        var = xg.var(axis=(1, 2, 4), keepdims=True)
+        y = ((xg - mean) * jax.lax.rsqrt(var + self.eps)).reshape(b, h, w, c)
+        y = y * scale + bias
+        y = y.astype(x.dtype)
+        if scale_shift is not None:
+            s, sh = scale_shift
+            y = y * (s + 1.0) + sh
+        return jax.nn.silu(y)
+
+
 class GroupNorm(nn.Module):
-    """GroupNorm with torch eps=1e-5; statistics in float32."""
+    """Block's norm+FiLM+SiLU tail. The wrapper is instantiated with
+    name='norm' and holds _GNParams as an inner module also named 'norm', so
+    parameter paths stay block*/norm/norm/{scale,bias} — the layout the
+    torch-checkpoint keymap and existing snapshots expect."""
 
     groups: int = 8
     dtype: Optional[Dtype] = None
 
     @nn.compact
-    def __call__(self, x):
-        return nn.GroupNorm(
-            num_groups=self.groups, epsilon=1e-5, dtype=self.dtype, name="norm"
-        )(x)
+    def __call__(self, x, scale_shift=None, fuse_tail: bool = False):
+        return _GNParams(self.groups, dtype=self.dtype, name="norm")(
+            x, scale_shift, fuse_tail
+        )
+
+
+def _fuse_tail_ok(x, scale_shift) -> bool:
+    """Use the Pallas kernel when on TPU, the FiLM is per-batch broadcast
+    (time-FiLM), and one sample's activations fit the VMEM budget."""
+    import os
+
+    if os.environ.get("NOISEDIFF_NO_FUSED_GN"):
+        return False
+    if jax.default_backend() != "tpu":
+        return False
+    b, h, w, c = x.shape
+    from ..ops.pallas.groupnorm_silu import fits_vmem
+
+    if not fits_vmem(h * w, c, x.dtype.itemsize):
+        return False
+    if scale_shift is not None:
+        s = scale_shift[0]
+        if s.ndim != 4 or s.shape[1] != 1 or s.shape[2] != 1:
+            return False  # per-pixel FiLM (ResnetBlock2) stays on the XLA path
+    return True
 
 
 class Block(nn.Module):
@@ -254,11 +321,9 @@ class Block(nn.Module):
     @nn.compact
     def __call__(self, x, scale_shift=None):
         x = Conv(self.dim_out, self.ks, dtype=self.dtype, name="proj")(x)
-        x = GroupNorm(self.groups, dtype=self.dtype, name="norm")(x)
-        if scale_shift is not None:
-            scale, shift = scale_shift
-            x = x * (scale + 1.0) + shift
-        return jax.nn.silu(x)
+        return GroupNorm(self.groups, dtype=self.dtype, name="norm")(
+            x, scale_shift, fuse_tail=_fuse_tail_ok(x, scale_shift)
+        )
 
 
 class ResnetBlock(nn.Module):

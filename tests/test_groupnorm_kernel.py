@@ -1,0 +1,71 @@
+"""Fused GroupNorm+FiLM+SiLU kernel tests (interpret mode on CPU) against the
+jnp reference and against torch GroupNorm semantics."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from noisediff_tpu.ops.pallas.groupnorm_silu import (
+    _reference,
+    fits_vmem,
+    fused_groupnorm_film_silu,
+)
+
+
+def _data(b=2, n=64, c=48, seed=0):
+    rng = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4, k5 = jax.random.split(rng, 5)
+    x = jax.random.normal(k1, (b, n, c))
+    gamma = jax.random.normal(k2, (c,)) * 0.1 + 1.0
+    beta = jax.random.normal(k3, (c,)) * 0.1
+    fs = jax.random.normal(k4, (b, c)) * 0.2
+    fsh = jax.random.normal(k5, (b, c)) * 0.2
+    return x, gamma, beta, fs, fsh
+
+
+def test_kernel_matches_reference():
+    x, gamma, beta, fs, fsh = _data()
+    out = fused_groupnorm_film_silu(x, gamma, beta, fs, fsh, 8, 1e-5, True)
+    ref = _reference(x, gamma, beta, fs, fsh, 8, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_kernel_no_film():
+    x, gamma, beta, _, _ = _data(seed=1)
+    out = fused_groupnorm_film_silu(x, gamma, beta, None, None, 8, 1e-5, True)
+    ref = _reference(x, gamma, beta, None, None, 8, 1e-5)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_reference_matches_torch_groupnorm():
+    torch = pytest.importorskip("torch")
+    x, gamma, beta, _, _ = _data(b=1, n=16, c=16, seed=2)
+    tx = torch.from_numpy(np.asarray(x)).reshape(1, 4, 4, 16).permute(0, 3, 1, 2)
+    gn = torch.nn.GroupNorm(8, 16)
+    with torch.no_grad():
+        gn.weight.copy_(torch.from_numpy(np.asarray(gamma)))
+        gn.bias.copy_(torch.from_numpy(np.asarray(beta)))
+        t_out = torch.nn.functional.silu(gn(tx)).permute(0, 2, 3, 1).reshape(1, 16, 16)
+    ref = _reference(x, gamma, beta, None, None, 8, 1e-5)
+    np.testing.assert_allclose(np.asarray(ref), t_out.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_kernel_gradients():
+    x, gamma, beta, fs, fsh = _data(b=1, n=32, c=16, seed=3)
+
+    def loss_fused(x, gamma, beta, fs, fsh):
+        return (fused_groupnorm_film_silu(x, gamma, beta, fs, fsh, 8, 1e-5, True) ** 2).sum()
+
+    def loss_ref(x, gamma, beta, fs, fsh):
+        return (_reference(x, gamma, beta, fs, fsh, 8, 1e-5) ** 2).sum()
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(x, gamma, beta, fs, fsh)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(x, gamma, beta, fs, fsh)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-4)
+
+
+def test_fits_vmem():
+    assert fits_vmem(128 * 128, 96)  # /2 stage at crop 256, fp32
+    assert not fits_vmem(512 * 512, 48)  # full-res crop 512 fp32 doesn't
+    assert fits_vmem(512 * 512, 48, itemsize=2) is False  # bf16 still 25 MB
