@@ -71,19 +71,17 @@ def load_component(path: str, like: Optional[Any] = None) -> Any:
 
 
 def latest_epoch(snapshot_dir: str, name: str = "net") -> Optional[str]:
-    """Find the newest '{name}_{epoch}' snapshot (for auto-resume)."""
+    """Newest '{name}_{epoch}' snapshot tag ('final' outranks any number)."""
     if not os.path.isdir(snapshot_dir):
         return None
-    best = None
-    for entry in os.listdir(snapshot_dir):
-        if entry.startswith(name + "_"):
-            tag = entry[len(name) + 1 :].removesuffix(".npz")
-            best = max(best, (tag == "final", _as_int(tag), tag)) if best else (
-                tag == "final",
-                _as_int(tag),
-                tag,
-            )
-    return best[2] if best else None
+    tags = [
+        entry[len(name) + 1 :].removesuffix(".npz")
+        for entry in os.listdir(snapshot_dir)
+        if entry.startswith(name + "_")
+    ]
+    if not tags:
+        return None
+    return max(tags, key=lambda t: (t == "final", _as_int(t)))
 
 
 def _as_int(tag: str) -> int:

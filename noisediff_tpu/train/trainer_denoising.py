@@ -80,7 +80,18 @@ class Trainer:
         dp = data_axis_size(args.batch_size, ndev)
         self.mesh = make_mesh({"data": dp}, devices=jax.devices()[:dp])
 
-        if args.resume:
+        if args.resume == "auto":
+            snap = getattr(args, "snapshot_save_dir", "")
+            tag = ckpt.latest_epoch(snap) if snap else None
+            if tag is not None:
+                self.load_networks("net", os.path.join(snap, f"net_{tag}"))
+                if tag.isdigit() and args.phase == "train":
+                    args.start_iter = max(args.start_iter, int(tag) + 1)
+                if self.rank <= 0:
+                    logging.info("auto-resumed from net_%s", tag)
+            elif self.rank <= 0:
+                logging.info("auto-resume: no snapshot found, starting fresh")
+        elif args.resume:
             self.load_networks("net", args.resume)
 
         if self.rank <= 0:

@@ -127,7 +127,20 @@ class Trainer:
                 args.batch_size, ndev, dp,
             )
 
-        if args.resume:
+        if args.resume == "auto":
+            # crash recovery: resume from the newest snapshot (the reference
+            # only supports manual --resume paths — SURVEY.md §5)
+            snap = getattr(args, "snapshot_save_dir", "")
+            tag = ckpt.latest_epoch(snap) if snap else None
+            if tag is not None:
+                self.load_networks("net", os.path.join(snap, f"net_{tag}"))
+                if tag.isdigit() and args.phase == "train":
+                    args.start_iter = max(args.start_iter, int(tag) + 1)
+                if self.rank <= 0:
+                    logging.info("auto-resumed from net_%s", tag)
+            elif self.rank <= 0:
+                logging.info("auto-resume: no snapshot found, starting fresh")
+        elif args.resume:
             self.load_networks("net", args.resume)
 
         if self.rank <= 0:
