@@ -290,11 +290,17 @@ class GroupNorm(nn.Module):
 
 
 def _fuse_tail_ok(x, scale_shift) -> bool:
-    """Use the Pallas kernel when on TPU, the FiLM is per-batch broadcast
-    (time-FiLM), and one sample's activations fit the VMEM budget."""
+    """Use the Pallas kernel when opted in (NOISEDIFF_FUSED_GN=1), on TPU,
+    the FiLM is per-batch broadcast (time-FiLM), and one sample's activations
+    fit the VMEM budget.
+
+    Opt-in for now: the kernel is validated in interpret mode
+    (tests/test_groupnorm_kernel.py) but Mosaic compilation stalls on the
+    axon-tunneled v5e in this build image — to be re-verified on a directly
+    attached chip before flipping the default."""
     import os
 
-    if os.environ.get("NOISEDIFF_NO_FUSED_GN"):
+    if not os.environ.get("NOISEDIFF_FUSED_GN"):
         return False
     if jax.default_backend() != "tpu":
         return False
