@@ -21,8 +21,11 @@ import numpy as np
 
 from .raw import SONY_A7S2_ISO_TABLE, sony_kmax_array
 
-_ISO_TABLE = jnp.asarray(SONY_A7S2_ISO_TABLE)
-_KMAX_TABLE = jnp.asarray(sony_kmax_array())
+# Host-side numpy: creating device arrays at import time would initialise the
+# jax backend before the driver's platform selection (the round-1 multichip
+# failure). jnp ops inside the traced fns fold these into constants.
+_ISO_TABLE = np.asarray(SONY_A7S2_ISO_TABLE)
+_KMAX_TABLE = np.asarray(sony_kmax_array())
 
 WP, BL = 16383.0, 512.0
 
@@ -34,10 +37,12 @@ def kmax_for_iso(iso: jnp.ndarray, jitter: jnp.ndarray) -> jnp.ndarray:
     K(iso) model 0.0009546*iso - 0.00193 (the reference's unknown-ISO branch).
     """
     iso = iso.astype(jnp.float32)
-    pos = jnp.searchsorted(_ISO_TABLE.astype(jnp.float32), iso)
+    iso_table = jnp.asarray(_ISO_TABLE, jnp.float32)
+    kmax_table = jnp.asarray(_KMAX_TABLE)
+    pos = jnp.searchsorted(iso_table, iso)
     pos = jnp.clip(pos, 0, len(SONY_A7S2_ISO_TABLE) - 1)
-    exact = _ISO_TABLE[pos].astype(jnp.float32) == iso
-    table_k = _KMAX_TABLE[pos]
+    exact = iso_table[pos] == iso
+    table_k = kmax_table[pos]
     fallback_k = 0.0009546 * iso - 0.00193
     return jnp.where(exact, table_k, fallback_k) * (1.0 + jitter)
 
