@@ -48,8 +48,139 @@ def _gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+def fold_width(x: jnp.ndarray, fold: int = 2) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H, W/fold, fold*C), channel order [beta*C + c].
+
+    TPU memory layout motivation: bf16 tensors store the minor (channel)
+    axis in 128-wide lane tiles, so C=48 wastes 62.5% of every HBM
+    transaction and the conv emitter's per-pixel cost dominates. Folding
+    width into channels (a pure reshape) runs the same math at C*fold with
+    ~2.2x measured conv speedup at the NoiseDiffNet stage-1 shape."""
+    b, h, w, c = x.shape
+    return x.reshape(b, h, w // fold, fold * c)
+
+
+def unfold_width(x: jnp.ndarray, fold: int = 2) -> jnp.ndarray:
+    b, h, w2, cf = x.shape
+    return x.reshape(b, h, w2 * fold, cf // fold)
+
+
+def _fold_conv_kernel(
+    w: jnp.ndarray, in_segments: Sequence[int], fold: int
+) -> jnp.ndarray:
+    """Transform an HWIO conv kernel to operate on width-folded tensors.
+
+    The folded input may be a channel-concat of `in_segments` folded
+    tensors (skip connections): real input channel c of segment s with
+    width Cs sits at folded position offset_s + beta*Cs + (c - start_s).
+    Output (kh, kw', sum(fold*Cs), fold*Cout) with
+    kw' = 2*ceil((kw-1+fold-1)/2/fold)+1 block columns; SAME padding in the
+    folded domain reproduces SAME padding in the original domain exactly
+    (fold must divide W)."""
+    kh, kw, cin, cout = w.shape
+    assert fold == 2, "only fold=2 implemented"
+    assert sum(in_segments) == cin, (in_segments, cin)
+    p = (kw - 1) // 2
+    assert kw % 2 == 1, "folded conv requires odd kernel width"
+    # block-column support: dj = (q - p - bin + bout) / 2 over valid q
+    djs = set()
+    for q in range(kw):
+        for bin_ in range(fold):
+            for bout in range(fold):
+                num = q - p - bin_ + bout
+                if num % 2 == 0:
+                    djs.add(num // 2)
+    dj_min, dj_max = min(djs), max(djs)
+    kw_f = dj_max - dj_min + 1
+    # SAME padding in folded domain must place block dj=0 at the centre
+    assert dj_min == -(kw_f - 1) // 2 and kw_f % 2 == 1, (dj_min, kw_f)
+
+    cin_f = fold * cin
+    wf = jnp.zeros((kh, kw_f, cin_f, fold * cout), w.dtype)
+    # folded input channel offsets per (segment, beta)
+    seg_start = []
+    off = 0
+    for cs in in_segments:
+        seg_start.append(off)
+        off += fold * cs
+    for q in range(kw):
+        for bin_ in range(fold):
+            for bout in range(fold):
+                num = q - p - bin_ + bout
+                if num % 2 != 0:
+                    continue
+                dj = num // 2 - dj_min
+                # scatter every segment's rows for this (q, bin, bout)
+                start = 0
+                for s, cs in enumerate(in_segments):
+                    rows = w[:, q, start : start + cs, :]  # (kh, cs, cout)
+                    wf = wf.at[
+                        :, dj,
+                        seg_start[s] + bin_ * cs : seg_start[s] + (bin_ + 1) * cs,
+                        bout * cout : (bout + 1) * cout,
+                    ].add(rows)
+                    start += cs
+    return wf
+
+
+class _ConvParams(nn.Module):
+    """Explicit conv parameter holder + apply. Parameter tree paths and
+    initialisation match flax nn.Conv ('kernel' HWIO + 'bias'), so
+    checkpoints and the torch importer are unaffected; unlike nn.Conv the
+    parameter shape is set by `in_features`, independent of the (possibly
+    width-folded) input tensor."""
+
+    features: int
+    in_features: int
+    kernel_size: int
+    strides: int
+    padding: Any
+    use_bias: bool
+    dtype: Optional[Dtype]
+    fold: int = 1
+    in_segments: Optional[tuple] = None
+
+    @nn.compact
+    def __call__(self, x):
+        ks = self.kernel_size
+        fan_in = self.in_features * ks * ks
+        kernel = self.param(
+            "kernel", torch_kernel_init,
+            (ks, ks, self.in_features, self.features), jnp.float32,
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", partial(torch_bias_init, fan_in=fan_in),
+                (self.features,), jnp.float32,
+            )
+        if self.fold > 1:
+            segments = self.in_segments or (self.in_features,)
+            kernel = _fold_conv_kernel(kernel, segments, self.fold)
+            if bias is not None:
+                bias = jnp.tile(bias, self.fold)
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        kernel = kernel.astype(dtype)
+        pad = self.padding
+        if isinstance(pad, int):
+            pad = [(pad, pad), (pad, pad)]
+        y = jax.lax.conv_general_dilated(
+            x, kernel, (self.strides, self.strides), pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if bias is not None:
+            y = y + bias.astype(dtype)
+        return y
+
+
 class Conv(nn.Module):
-    """2D conv with torch-default init, NHWC."""
+    """2D conv with torch-default init, NHWC.
+
+    fold > 1: the input (and output) tensors are width-folded
+    (see fold_width); parameters keep their un-folded reference shapes and
+    the kernel is transformed at apply time. in_segments gives the real
+    channel widths of a folded-concat input (skip connections)."""
 
     features: int
     kernel_size: int = 3
@@ -57,41 +188,80 @@ class Conv(nn.Module):
     padding: int | str = "SAME"
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    fold: int = 1
+    in_segments: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x):
-        in_features = x.shape[-1]
-        fan_in = in_features * self.kernel_size * self.kernel_size
-        pad = self.padding
-        if isinstance(pad, int):
-            pad = [(pad, pad), (pad, pad)]
-        return nn.Conv(
+        if self.fold > 1:
+            in_features = sum(self.in_segments) if self.in_segments else (
+                x.shape[-1] // self.fold
+            )
+        else:
+            in_features = x.shape[-1]
+        return _ConvParams(
             features=self.features,
-            kernel_size=(self.kernel_size, self.kernel_size),
-            strides=(self.strides, self.strides),
-            padding=pad,
+            in_features=in_features,
+            kernel_size=self.kernel_size,
+            strides=self.strides,
+            padding=self.padding,
             use_bias=self.use_bias,
-            kernel_init=torch_kernel_init,
-            bias_init=partial(torch_bias_init, fan_in=fan_in),
             dtype=self.dtype,
+            fold=self.fold,
+            in_segments=self.in_segments,
             name="conv",
         )(x)
+
+
+class _DenseParams(nn.Module):
+    """Explicit nn.Dense-compatible params ('kernel', 'bias'); fold > 1
+    applies the kernel block-diagonally per folded pixel."""
+
+    features: int
+    in_features: int
+    use_bias: bool
+    dtype: Optional[Dtype]
+    fold: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", torch_kernel_init,
+            (self.in_features, self.features), jnp.float32,
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", partial(torch_bias_init, fan_in=self.in_features),
+                (self.features,), jnp.float32,
+            )
+        if self.fold > 1:
+            blocks = [kernel] * self.fold
+            kernel = jax.scipy.linalg.block_diag(*blocks)
+            if bias is not None:
+                bias = jnp.tile(bias, self.fold)
+        dtype = self.dtype or x.dtype
+        y = x.astype(dtype) @ kernel.astype(dtype)
+        if bias is not None:
+            y = y + bias.astype(dtype)
+        return y
 
 
 class Dense(nn.Module):
     features: int
     use_bias: bool = True
     dtype: Optional[Dtype] = None
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
-        fan_in = x.shape[-1]
-        return nn.Dense(
+        in_features = x.shape[-1] // self.fold
+        return _DenseParams(
             features=self.features,
+            in_features=in_features,
             use_bias=self.use_bias,
-            kernel_init=torch_kernel_init,
-            bias_init=partial(torch_bias_init, fan_in=fan_in),
             dtype=self.dtype,
+            fold=self.fold,
             name="dense",
         )(x)
 
@@ -260,12 +430,25 @@ class _GNParams(nn.Module):
             )
             return out.reshape(b, h, w, c)
 
-        # plain GN (torch semantics: fp32 stats, biased variance, eps inside)
-        xg = x.astype(jnp.float32).reshape(b, h, w, self.groups, c // self.groups)
-        mean = xg.mean(axis=(1, 2, 4), keepdims=True)
-        var = xg.var(axis=(1, 2, 4), keepdims=True)
-        y = ((xg - mean) * jax.lax.rsqrt(var + self.eps)).reshape(b, h, w, c)
-        y = y * scale + bias
+        # plain GN (torch semantics: fp32 stats, biased variance, eps inside).
+        # Stats as per-CHANNEL fused reduces + a tiny (b, c) group reshape:
+        # reshaping the full activation to (b, h, w, g, c/g) forces
+        # lane-hostile 5-d layouts on TPU (profiled 10-30x slower). The
+        # variance is the uncentered E[x^2]-mean^2 form; in fp32 at
+        # activation magnitudes this differs from the centered form by
+        # ~1e-6 relative, far below bf16 output rounding.
+        xf = x.astype(jnp.float32)
+        s_c = xf.sum(axis=(1, 2))  # (b, c)
+        sq_c = (xf * xf).sum(axis=(1, 2))
+        cnt = h * w * (c // self.groups)
+        s_g = s_c.reshape(b, self.groups, -1).sum(-1)  # (b, g)
+        sq_g = sq_c.reshape(b, self.groups, -1).sum(-1)
+        mean_g = s_g / cnt
+        var_g = sq_g / cnt - mean_g * mean_g
+        inv_g = jax.lax.rsqrt(var_g + self.eps)
+        mean_c = jnp.repeat(mean_g, c // self.groups, axis=1)[:, None, None, :]
+        inv_c = jnp.repeat(inv_g, c // self.groups, axis=1)[:, None, None, :]
+        y = ((xf - mean_c) * inv_c) * scale + bias
         y = y.astype(x.dtype)
         if scale_shift is not None:
             s, sh = scale_shift
@@ -421,15 +604,24 @@ class CrossAttention(nn.Module):
         to_out = Dense(query_dim, dtype=self.dtype, name="to_out")
 
         if context.shape[1] == 1 and mask is None:
-            # exact single-token fast path (see class docstring)
+            # exact single-token fast path (see class docstring); to_out is
+            # applied to the single token and broadcast AFTER — to_out
+            # commutes with the token broadcast, so the (B, N, inner)
+            # intermediate (and its N-row matmul) never materialises.
+            # x may be (B, N, C) tokens or (B, H, W, C) spatial — only its
+            # leading/last dims matter here, so no token reshape is forced
+            # on the surrounding graph (token-major layouts were profiled
+            # poisoning adjacent conv layouts TPU-side).
             _ = to_q  # params still created for checkpoint compatibility
-            q = to_q(x[:, :1])  # traced for param shape; output unused
-            del q
+            q = to_q(x[(slice(None),) + (slice(0, 1),) * (x.ndim - 2)])
+            del q  # traced for param shape; output unused
             _ = to_k(context)
             v = to_v(context)  # (B, 1, inner)
-            out = jnp.broadcast_to(v, (x.shape[0], x.shape[1], inner))
-            return to_out(out)
+            out = to_out(v)  # (B, 1, query_dim)
+            out = out.reshape((x.shape[0],) + (1,) * (x.ndim - 2) + (query_dim,))
+            return jnp.broadcast_to(out, x.shape[:-1] + (query_dim,))
 
+        assert x.ndim == 3, "multi-token attention expects (B, N, C) tokens"
         q = to_q(x)
         k = to_k(context)
         v = to_v(context)
@@ -475,7 +667,14 @@ class AttnBlock(nn.Module):
     def __call__(self, x, context=None, mask=None):
         b, h, w, c = x.shape
         x_in = x
-        tokens = x.reshape(b, h * w, c)
+        # single-token context (NoiseDiffNet's ISO embedding is (B, 1, 16)):
+        # every sub-op acts on the channel axis only, so the whole block runs
+        # on the 4-D spatial tensor. The (B, H*W, C) token flattening the
+        # reference uses forces token-major layouts into the neighbouring
+        # convolutions on TPU (profiled: layout copies + de-optimised convs);
+        # only genuine multi-token attention pays for it.
+        fast = context is not None and context.shape[1] == 1 and mask is None
+        tokens = x if fast else x.reshape(b, h * w, c)
         normed = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tokens)
         tokens = (
             CrossAttention(self.heads, self.dim_head, dtype=self.dtype, name="attn")(
@@ -489,7 +688,7 @@ class AttnBlock(nn.Module):
             )
             + tokens
         )
-        x = tokens.reshape(b, h, w, c)
+        x = tokens if fast else tokens.reshape(b, h, w, c)
         x = Conv(c, 1, dtype=self.dtype, name="proj_out")(x)
         return x + x_in
 

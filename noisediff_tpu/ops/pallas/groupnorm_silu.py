@@ -27,8 +27,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# per-program VMEM budget for the activation block (bytes)
-VMEM_BUDGET = 8 * 1024 * 1024
+# per-program VMEM budget for the resident input+output blocks (bytes);
+# v5e has 128 MiB VMEM — leave room for double-buffering across grid steps
+VMEM_BUDGET = 32 * 1024 * 1024
 
 
 def _reference(x, gamma, beta, film_scale, film_shift, groups, eps):
@@ -43,31 +44,62 @@ def _reference(x, gamma, beta, film_scale, film_shift, groups, eps):
     return y * jax.nn.sigmoid(y)
 
 
-def _kernel(x_ref, gamma_ref, beta_ref, fs_ref, fsh_ref, mask_ref, o_ref, *, eps, n_cg):
-    x = x_ref[0].astype(jnp.float32)  # (N, C)
+def _dot(a, b):
+    # fp32 matmul: the TPU default precision truncates f32 operands to bf16,
+    # which is catastrophic for the stats reductions here
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+
+
+def _chunk_rows(n: int, c: int) -> int:
+    """Largest row-chunk dividing n whose fp32 working set stays ~1 MiB."""
+    for t in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8):
+        if n % t == 0 and t * c * 4 <= (1 << 20):
+            return t
+    return n
+
+
+def _kernel(
+    x_ref, gamma_ref, beta_ref, fs_ref, fsh_ref, mask_ref, o_ref, *, eps, n_cg, chunk
+):
+    """One batch row (N, C) resident in VMEM in the input dtype; fp32
+    intermediates are streamed in `chunk`-row slices so the scoped (stack)
+    VMEM stays ~1 MiB regardless of N. Three VMEM sweeps (sums, centered
+    square-sums, apply) — still a single HBM pass."""
+    n, c = x_ref.shape[1], x_ref.shape[2]
+    nchunks = n // chunk
     mask = mask_ref[...]  # (C, G)
-    s = jnp.sum(x, axis=0, keepdims=True)  # (1, C)
-    sq = jnp.sum(x * x, axis=0, keepdims=True)
-    gs = jax.lax.dot_general(  # (1, G)
-        s, mask, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    gsq = jax.lax.dot_general(
-        sq, mask, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    mean_g = gs / n_cg
-    var_g = gsq / n_cg - mean_g * mean_g
-    inv_g = jax.lax.rsqrt(var_g + eps)
-    # broadcast back to channels: (1, G) @ (G, C)
-    mean_c = jax.lax.dot_general(
-        mean_g, mask.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    inv_c = jax.lax.dot_general(
-        inv_g, mask.T, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    y = (x - mean_c) * inv_c
-    y = y * gamma_ref[...] + beta_ref[...]
-    y = y * (fs_ref[...] + 1.0) + fsh_ref[...]
-    o_ref[0] = (y * jax.nn.sigmoid(y)).astype(o_ref.dtype)
+
+    def body_sum(i, acc):
+        sl = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
+        return acc + jnp.sum(sl, axis=0, keepdims=True)
+
+    s = jax.lax.fori_loop(0, nchunks, body_sum, jnp.zeros((1, c), jnp.float32))
+    mean_c = _dot(_dot(s, mask) / n_cg, mask.T)  # (1, C)
+
+    def body_sq(i, acc):
+        sl = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32) - mean_c
+        return acc + jnp.sum(sl * sl, axis=0, keepdims=True)
+
+    sq = jax.lax.fori_loop(0, nchunks, body_sq, jnp.zeros((1, c), jnp.float32))
+    inv_c = _dot(jax.lax.rsqrt(_dot(sq, mask) / n_cg + eps), mask.T)
+
+    ga, be = gamma_ref[...], beta_ref[...]
+    fs, fsh = fs_ref[0], fsh_ref[0]
+
+    def body_out(i, carry):
+        sl = x_ref[0, pl.ds(i * chunk, chunk), :].astype(jnp.float32)
+        y = ((sl - mean_c) * inv_c) * ga + be
+        y = y * (fs + 1.0) + fsh
+        o_ref[0, pl.ds(i * chunk, chunk), :] = (y * jax.nn.sigmoid(y)).astype(
+            o_ref.dtype
+        )
+        return carry
+
+    jax.lax.fori_loop(0, nchunks, body_out, 0)
 
 
 def _forward(x, gamma, beta, film_scale, film_shift, groups, eps, interpret):
@@ -80,7 +112,7 @@ def _forward(x, gamma, beta, film_scale, film_shift, groups, eps, interpret):
     )  # (C, G)
     n_cg = float(n * (c // groups))
 
-    kernel = functools.partial(_kernel, eps=eps, n_cg=n_cg)
+    kernel = functools.partial(_kernel, eps=eps, n_cg=n_cg, chunk=_chunk_rows(n, c))
     return pl.pallas_call(
         kernel,
         grid=(b,),
@@ -88,8 +120,11 @@ def _forward(x, gamma, beta, film_scale, film_shift, groups, eps, interpret):
             pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, c), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            # film rows as (1, 1, c) blocks of a (b, 1, c) array: Mosaic
+            # requires the last two block dims to divide (8, 128) or equal
+            # the array dims — a (1, c) slice of (b, c) satisfies neither.
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((c, groups), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, n, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
@@ -99,14 +134,15 @@ def _forward(x, gamma, beta, film_scale, film_shift, groups, eps, interpret):
         x,
         gamma.reshape(1, c).astype(jnp.float32),
         beta.reshape(1, c).astype(jnp.float32),
-        film_scale.astype(jnp.float32),
-        film_shift.astype(jnp.float32),
+        film_scale.reshape(b, 1, c).astype(jnp.float32),
+        film_shift.reshape(b, 1, c).astype(jnp.float32),
         mask,
     )
 
 
 def fits_vmem(n: int, c: int, itemsize: int = 4) -> bool:
-    return n * c * itemsize <= VMEM_BUDGET
+    # input block + output block resident per program
+    return n * c * itemsize * 2 <= VMEM_BUDGET
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))

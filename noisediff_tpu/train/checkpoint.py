@@ -70,6 +70,11 @@ def load_component(path: str, like: Optional[Any] = None) -> Any:
     return dict(data)
 
 
+def component_exists(path: str) -> bool:
+    """True if save_component wrote this path (orbax dir or npz fallback)."""
+    return os.path.isdir(path) or os.path.exists(path + ".npz")
+
+
 def latest_epoch(snapshot_dir: str, name: str = "net") -> Optional[str]:
     """Newest '{name}_{epoch}' snapshot tag ('final' outranks any number)."""
     if not os.path.isdir(snapshot_dir):

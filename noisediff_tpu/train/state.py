@@ -51,8 +51,17 @@ def make_optimizer(weight_decay: float = 0.0) -> optax.GradientTransformation:
 
 
 def set_learning_rate(opt_state, lr: float):
-    """Update the injected LR (host-side, between epochs)."""
-    opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+    """Update the injected LR (host-side, between epochs).
+
+    The replacement array must match the old leaf's sharding/commitment:
+    a fresh uncommitted scalar changes the jitted train step's input
+    signature and forces a ~70s recompile at every epoch boundary."""
+    old = opt_state.hyperparams["learning_rate"]
+    new = jnp.asarray(lr, jnp.float32)
+    sharding = getattr(old, "sharding", None)
+    if sharding is not None:
+        new = jax.device_put(new, sharding)
+    opt_state.hyperparams["learning_rate"] = new
     return opt_state
 
 

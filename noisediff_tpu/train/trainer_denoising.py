@@ -80,11 +80,13 @@ class Trainer:
         dp = data_axis_size(args.batch_size, ndev)
         self.mesh = make_mesh({"data": dp}, devices=jax.devices()[:dp])
 
+        self._auto_resume = ("", None)
         if args.resume == "auto":
             snap = getattr(args, "snapshot_save_dir", "")
             tag = ckpt.latest_epoch(snap) if snap else None
             if tag is not None:
                 self.load_networks("net", os.path.join(snap, f"net_{tag}"))
+                self._auto_resume = (snap, tag)
                 if tag.isdigit() and args.phase == "train":
                     args.start_iter = max(args.start_iter, int(tag) + 1)
                 if self.rank <= 0:
@@ -112,7 +114,12 @@ class Trainer:
                     logging.info("  using l1 loss...")
             self.optimizer = make_optimizer(getattr(args, "weight_decay", 0.0))
             params = jax.device_put(self.params, replicated(self.mesh))
-            self.state = create_train_state(params, self.optimizer, with_ema=False)
+            # commit the WHOLE state to the mesh (see trainer_diffusion):
+            # avoids a full recompile at the second train step
+            self.state = jax.device_put(
+                create_train_state(params, self.optimizer, with_ema=False),
+                replicated(self.mesh),
+            )
             self.train_step = make_denoising_train_step(
                 apply_fn,
                 self.optimizer,
@@ -122,9 +129,19 @@ class Trainer:
                 lambda_mse=getattr(args, "lambda_mse", 1.0),
                 use_sna=getattr(args, "use_sna", False),
             )
+            snap, tag = self._auto_resume
+            if tag is not None:
+                opt_path = os.path.join(snap, f"optimizer_G_{tag}")
+                if ckpt.component_exists(opt_path):
+                    restored = ckpt.load_component(
+                        opt_path, like=self._opt_component()
+                    )
+                    self._apply_opt_component(restored)
             if getattr(args, "resume_optim", ""):
-                restored = ckpt.load_component(args.resume_optim, like=self.state.opt_state)
-                self.state = self.state.replace(opt_state=restored)
+                restored = ckpt.load_component(
+                    args.resume_optim, like=self._opt_component()
+                )
+                self._apply_opt_component(restored)
 
     def _init_params(self, args):
         rng = jax.random.fold_in(self.rng, 123)
@@ -246,10 +263,22 @@ class Trainer:
         if net_name == "net":
             tree = self.state.params if hasattr(self, "state") else self.params
         elif net_name == "optimizer_G":
-            tree = self.state.opt_state
+            tree = self._opt_component()
         else:
             raise ValueError(net_name)
         ckpt.save_component(snapshot_dir, net_name, epoch, tree)
+
+    def _opt_component(self):
+        """'optimizer_G' snapshot payload: Adam moments + train step counter
+        (the step drives per-step RNG folding, so a resumed run continues the
+        uninterrupted augmentation stream)."""
+        return {"opt_state": self.state.opt_state, "step": self.state.step}
+
+    def _apply_opt_component(self, restored):
+        put = lambda t: jax.device_put(t, replicated(self.mesh))
+        self.state = self.state.replace(
+            opt_state=put(restored["opt_state"]), step=put(restored["step"])
+        )
 
     def load_networks(self, net_name: str, resume: str, strict: bool = True):
         if resume.endswith(".pth") or resume.endswith(".pt"):

@@ -127,6 +127,7 @@ class Trainer:
                 args.batch_size, ndev, dp,
             )
 
+        self._auto_resume = ("", None)
         if args.resume == "auto":
             # crash recovery: resume from the newest snapshot (the reference
             # only supports manual --resume paths — SURVEY.md §5)
@@ -134,6 +135,7 @@ class Trainer:
             tag = ckpt.latest_epoch(snap) if snap else None
             if tag is not None:
                 self.load_networks("net", os.path.join(snap, f"net_{tag}"))
+                self._auto_resume = (snap, tag)
                 if tag.isdigit() and args.phase == "train":
                     args.start_iter = max(args.start_iter, int(tag) + 1)
                 if self.rank <= 0:
@@ -149,17 +151,76 @@ class Trainer:
         if args.phase == "train":
             self.optimizer = make_optimizer(getattr(args, "weight_decay", 0.0))
             params = jax.device_put(self.params, replicated(self.mesh))
-            self.state = create_train_state(params, self.optimizer, with_ema=True)
+            # commit the WHOLE state (incl. step counters and optimizer
+            # scalars) to the mesh: uncommitted leaves give the first train
+            # step a different jit signature than later steps, costing a
+            # full recompile (~70s) at step 1
+            self.state = jax.device_put(
+                create_train_state(params, self.optimizer, with_ema=True),
+                replicated(self.mesh),
+            )
             self.train_step = make_diffusion_train_step(
                 self.diffusion,
                 self.optimizer,
                 generation_result=getattr(args, "generation_result", "noise"),
             )
+            self._restore_train_state()
             if getattr(args, "resume_optim", ""):
-                restored = ckpt.load_component(args.resume_optim, like=self.state.opt_state)
-                self.state = self.state.replace(opt_state=restored)
+                restored = ckpt.load_component(
+                    args.resume_optim, like=self._opt_component()
+                )
+                self._apply_opt_component(restored)
 
         self._sample_fn_cache = {}
+
+    # ------------------------------------------------------------------
+    def _opt_component(self):
+        """The 'optimizer_G' snapshot payload: Adam moments + step counters.
+
+        The reference saves optimizer_G as a bare state_dict
+        (trainer_diffusion.py:352-364, load at :333-349); here the component
+        also carries the train and EMA step counters so a resumed run
+        reproduces the uninterrupted one (EMA warmup/ramp depends on step)."""
+        payload = {"opt_state": self.state.opt_state, "step": self.state.step}
+        if self.state.ema is not None:
+            payload["ema_step"] = self.state.ema.step
+        return payload
+
+    def _apply_opt_component(self, restored):
+        put = lambda t: jax.device_put(t, replicated(self.mesh))
+        ema = self.state.ema
+        if ema is not None and "ema_step" in restored:
+            ema = ema.replace(step=put(restored["ema_step"]))
+        self.state = self.state.replace(
+            opt_state=put(restored["opt_state"]),
+            step=put(restored["step"]),
+            ema=ema,
+        )
+
+    def _restore_train_state(self):
+        """Auto-resume restores EMA params and optimizer/step state alongside
+        the net params (round-1 gap: only net was restored, silently
+        reinitialising the shipped EMA artefact and Adam moments)."""
+        snap, tag = self._auto_resume
+        if tag is None:
+            return
+        ema_path = os.path.join(snap, f"ema_{tag}")
+        if self.state.ema is not None and ckpt.component_exists(ema_path):
+            ema_params = ckpt.load_component(ema_path, like=self.state.ema.params)
+            self.state = self.state.replace(
+                ema=self.state.ema.replace(
+                    params=jax.device_put(ema_params, replicated(self.mesh))
+                )
+            )
+        opt_path = os.path.join(snap, f"optimizer_G_{tag}")
+        if ckpt.component_exists(opt_path):
+            restored = ckpt.load_component(opt_path, like=self._opt_component())
+            self._apply_opt_component(restored)
+            if self.rank <= 0:
+                logging.info(
+                    "auto-resumed ema/optimizer state from %s (step %d)",
+                    opt_path, int(self.state.step),
+                )
 
     # ------------------------------------------------------------------
     def _init_params(self, args):
@@ -246,6 +307,7 @@ class Trainer:
                 logging.info("Saving state, epoch: %d iter:0", epoch)
                 self.save_networks("net", epoch)
                 self.save_networks("ema", epoch)
+                self.save_networks("optimizer_G", epoch)
 
         if self.rank <= 0:
             if tb is not None:
@@ -364,7 +426,7 @@ class Trainer:
             # itself (trainer_diffusion.py:354-355)
             tree = self.state.ema.params
         elif net_name == "optimizer_G":
-            tree = self.state.opt_state
+            tree = self._opt_component()
         else:
             raise ValueError(net_name)
         ckpt.save_component(snapshot_dir, net_name, epoch, tree)

@@ -1,0 +1,139 @@
+"""Crash-recovery parity: interrupting training at epoch k and resuming with
+--resume auto must reproduce the uninterrupted run bitwise — net params, EMA
+params, Adam moments and step counters (round-1 gap: only net params were
+restored; reference resume surface: trainer_diffusion.py:333-364).
+"""
+import shutil
+
+import jax
+import numpy as np
+import pytest
+
+H_BAYER, W_BAYER = 32, 48
+
+
+@pytest.fixture(scope="module")
+def sid_tree(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("resume")
+    root = tmp_path / "SID"
+    (root / "Sony" / "short").mkdir(parents=True)
+    (root / "Sony" / "long").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    lines = []
+    for i in (1, 2):
+        in_fn, gt_fn = f"{i:05d}_00_0.04s.ARW", f"{i:05d}_00_10s.ARW"
+        for sub, fn in (("short", in_fn), ("long", gt_fn)):
+            arr = rng.integers(512, 4096, size=(H_BAYER, W_BAYER)).astype(np.uint16)
+            np.save(root / "Sony" / sub / (fn + ".npy"), arr)
+        lines.append(f"./Sony/short/{in_fn} ./Sony/long/{gt_fn} ISO800 F1.8")
+    (root / "Sony_train_list.txt").write_text("\n".join(lines) + "\n")
+    return tmp_path
+
+
+def _argv(tmp_path, save_folder, max_iter, resume=""):
+    argv = [
+        "--name", "resume_diff",
+        "--net_name", "NoiseDiffNet",
+        "--trainset", "SonyTrainDataset",
+        "--beta_schedule", "sigmoid2",
+        "--positional_encoding",
+        "--with_camera_settings",
+        "--dim", "16",
+        "--crop_size", "16",
+        "--batch_size", "10",
+        "--max_iter", str(max_iter),
+        "--diffusion_steps", "8",
+        "--save_epoch_freq", "1",
+        "--log_freq", "100",
+        "--save_folder", str(save_folder),
+        "--sid_folder", str(tmp_path / "SID"),
+        "--pretrained_dir", str(tmp_path),
+        "--num_workers", "1",
+        "--no_mixed_precision",
+    ]
+    if resume:
+        argv += ["--resume", resume]
+    return argv
+
+
+def _leaves(tree):
+    return [np.asarray(x) for x in jax.tree.leaves(tree)]
+
+
+def _assert_tree_equal(a, b, what):
+    la, lb = _leaves(a), _leaves(b)
+    assert len(la) == len(lb), what
+    for x, y in zip(la, lb):
+        np.testing.assert_array_equal(x, y, err_msg=what)
+
+
+def _assert_tree_close(a, b, what, atol):
+    la, lb = _leaves(a), _leaves(b)
+    assert len(la) == len(lb), what
+    for x, y in zip(la, lb):
+        np.testing.assert_allclose(
+            np.asarray(x, np.float64), np.asarray(y, np.float64),
+            atol=atol, rtol=0, err_msg=what,
+        )
+
+
+def test_auto_resume_reproduces_uninterrupted_run(sid_tree):
+    from noisediff_tpu.cli import train_diffusion as trd
+    from noisediff_tpu.cli.common import set_random_seed, setup_run_dirs
+    from noisediff_tpu.train import checkpoint as ckpt
+    from noisediff_tpu.train.trainer_diffusion import Trainer
+
+    ## run A: 2 epochs uninterrupted
+    trd.main(_argv(sid_tree, sid_tree / "A", 2))
+    snap_a = sid_tree / "A" / "resume_diff" / "snapshot"
+    assert (snap_a / "optimizer_G_1").exists()  # saved in the epoch loop
+
+    ## run B: epoch 0 only, then simulate a crash (drop the 'final' snapshots
+    ## written by the clean shutdown, keeping the epoch-0 ones)
+    trd.main(_argv(sid_tree, sid_tree / "B", 1))
+    snap_b = sid_tree / "B" / "resume_diff" / "snapshot"
+    for name in ("net_final", "ema_final"):
+        shutil.rmtree(snap_b / name)
+
+    ## resume: the Trainer must restore net + EMA + optimizer + step counters
+    args = trd.build_parser().parse_args(_argv(sid_tree, sid_tree / "B", 2, resume="auto"))
+    set_random_seed(args.random_seed)
+    setup_run_dirs(args)
+    trainer = Trainer(args)
+
+    assert args.start_iter == 1  # fast-forwarded past the snapshotted epoch
+    steps_per_epoch = len(trainer.train_dataset) // args.batch_size
+    ## restore itself must be EXACT (pure IO, no compute): every component of
+    ## run B's own epoch-0 snapshot is back in the live state, bitwise
+    assert int(trainer.state.step) == steps_per_epoch
+    assert int(trainer.state.ema.step) == steps_per_epoch
+    _assert_tree_equal(
+        trainer.state.params,
+        ckpt.load_component(str(snap_b / "net_0"), like=trainer.state.params),
+        "restored net params",
+    )
+    _assert_tree_equal(
+        trainer.state.ema.params,
+        ckpt.load_component(str(snap_b / "ema_0"), like=trainer.state.ema.params),
+        "restored EMA params",
+    )
+    stored_opt = ckpt.load_component(
+        str(snap_b / "optimizer_G_0"),
+        like={"opt_state": trainer.state.opt_state, "step": trainer.state.step,
+              "ema_step": trainer.state.ema.step},
+    )
+    _assert_tree_equal(trainer.state.opt_state, stored_opt["opt_state"],
+                       "restored Adam moments")
+
+    trainer.train()
+
+    ## the resumed run must track the uninterrupted run. Bitwise equality is
+    ## not attainable on this backend (XLA CPU multithreaded reductions are
+    ## nondeterministic run-to-run: two IDENTICAL fresh runs already differ
+    ## by ~5e-4 after one epoch), so assert the trajectories match to that
+    ## noise floor. Without EMA/optimizer restore the divergence would be
+    ## catastrophic (fresh Adam moments rescale every update).
+    for comp in ("net_final", "ema_final", "net_1", "ema_1"):
+        a = ckpt.load_component(str(snap_a / comp))
+        b = ckpt.load_component(str(snap_b / comp))
+        _assert_tree_close(a, b, comp, atol=5e-3)
