@@ -74,7 +74,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     parser.add_argument("--resume", default="", type=str)
     parser.add_argument("--resume_optim", default="", type=str)
-    parser.add_argument("--resume_scheduler", default="", type=str)
+    parser.add_argument("--resume_scheduler", default="", type=str,
+                        help="accepted for reference-CLI compatibility; the LR "
+                             "schedule here is closed-form per epoch, so there is "
+                             "no scheduler state to restore")
 
     ## log setting
     parser.add_argument("--log_freq", default=10, type=int)

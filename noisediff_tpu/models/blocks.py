@@ -65,6 +65,33 @@ def unfold_width(x: jnp.ndarray, fold: int = 2) -> jnp.ndarray:
     return x.reshape(b, h, w2 * fold, cf // fold)
 
 
+def _fold_selector(kw: int, fold: int) -> "np.ndarray":
+    """Constant selection tensor P (kw, kw_f, fold_in, fold_out) with
+    P[q, dj, bin, bout] = 1 iff original tap q maps to folded block-column
+    dj for input phase bin / output phase bout."""
+    import numpy as np
+
+    p = (kw - 1) // 2
+    djs = [
+        (q - p - bi + bo) // 2
+        for q in range(kw)
+        for bi in range(fold)
+        for bo in range(fold)
+        if (q - p - bi + bo) % 2 == 0
+    ]
+    dj_min, dj_max = min(djs), max(djs)
+    kw_f = dj_max - dj_min + 1
+    assert dj_min == -(kw_f - 1) // 2 and kw_f % 2 == 1, (dj_min, kw_f)
+    P = np.zeros((kw, kw_f, fold, fold), np.float32)
+    for q in range(kw):
+        for bi in range(fold):
+            for bo in range(fold):
+                num = q - p - bi + bo
+                if num % 2 == 0:
+                    P[q, num // 2 - dj_min, bi, bo] = 1.0
+    return P
+
+
 def _fold_conv_kernel(
     w: jnp.ndarray, in_segments: Sequence[int], fold: int
 ) -> jnp.ndarray:
@@ -73,54 +100,27 @@ def _fold_conv_kernel(
     The folded input may be a channel-concat of `in_segments` folded
     tensors (skip connections): real input channel c of segment s with
     width Cs sits at folded position offset_s + beta*Cs + (c - start_s).
-    Output (kh, kw', sum(fold*Cs), fold*Cout) with
-    kw' = 2*ceil((kw-1+fold-1)/2/fold)+1 block columns; SAME padding in the
-    folded domain reproduces SAME padding in the original domain exactly
-    (fold must divide W)."""
+    Output (kh, kw', sum(fold*Cs), fold*Cout); SAME padding in the folded
+    domain reproduces SAME padding in the original domain exactly (fold
+    must divide W).
+
+    Built as a dense einsum with a CONSTANT selection tensor — an
+    .at[].set scatter formulation here makes XLA lower the conv into
+    activation-sized masked selects (profiled ~1ms each)."""
     kh, kw, cin, cout = w.shape
     assert fold == 2, "only fold=2 implemented"
     assert sum(in_segments) == cin, (in_segments, cin)
-    p = (kw - 1) // 2
     assert kw % 2 == 1, "folded conv requires odd kernel width"
-    # block-column support: dj = (q - p - bin + bout) / 2 over valid q
-    djs = set()
-    for q in range(kw):
-        for bin_ in range(fold):
-            for bout in range(fold):
-                num = q - p - bin_ + bout
-                if num % 2 == 0:
-                    djs.add(num // 2)
-    dj_min, dj_max = min(djs), max(djs)
-    kw_f = dj_max - dj_min + 1
-    # SAME padding in folded domain must place block dj=0 at the centre
-    assert dj_min == -(kw_f - 1) // 2 and kw_f % 2 == 1, (dj_min, kw_f)
-
-    cin_f = fold * cin
-    wf = jnp.zeros((kh, kw_f, cin_f, fold * cout), w.dtype)
-    # folded input channel offsets per (segment, beta)
-    seg_start = []
-    off = 0
+    P = jnp.asarray(_fold_selector(kw, fold))  # (kw, kw_f, fold, fold)
+    parts = []
+    start = 0
     for cs in in_segments:
-        seg_start.append(off)
-        off += fold * cs
-    for q in range(kw):
-        for bin_ in range(fold):
-            for bout in range(fold):
-                num = q - p - bin_ + bout
-                if num % 2 != 0:
-                    continue
-                dj = num // 2 - dj_min
-                # scatter every segment's rows for this (q, bin, bout)
-                start = 0
-                for s, cs in enumerate(in_segments):
-                    rows = w[:, q, start : start + cs, :]  # (kh, cs, cout)
-                    wf = wf.at[
-                        :, dj,
-                        seg_start[s] + bin_ * cs : seg_start[s] + (bin_ + 1) * cs,
-                        bout * cout : (bout + 1) * cout,
-                    ].add(rows)
-                    start += cs
-    return wf
+        ws = w[:, :, start : start + cs, :]  # (kh, kw, cs, cout)
+        # (kh, kw_f, fold_in, cs, fold_out, cout)
+        wf = jnp.einsum("pqic,qdab->pdaibc", ws, P)
+        parts.append(wf.reshape(kh, wf.shape[1], fold * cs, fold * cout))
+        start += cs
+    return jnp.concatenate(parts, axis=2)
 
 
 class _ConvParams(nn.Module):
@@ -138,39 +138,52 @@ class _ConvParams(nn.Module):
     use_bias: bool
     dtype: Optional[Dtype]
     fold: int = 1
-    in_segments: Optional[tuple] = None
+    kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x):
+        """x: a tensor, or a tuple of tensors treated as a channel concat —
+        conv(concat(parts), w) == sum_i conv(part_i, w_i). Applying the sum
+        form directly avoids both the concat copy and (folded) scattered
+        multi-segment kernels, which XLA otherwise rewrites into
+        activation-sized masked selects (profiled ~0.8ms each)."""
         ks = self.kernel_size
         fan_in = self.in_features * ks * ks
         kernel = self.param(
-            "kernel", torch_kernel_init,
+            "kernel", self.kernel_init or torch_kernel_init,
             (ks, ks, self.in_features, self.features), jnp.float32,
         )
         bias = None
         if self.use_bias:
             bias = self.param(
-                "bias", partial(torch_bias_init, fan_in=fan_in),
+                "bias", self.bias_init or partial(torch_bias_init, fan_in=fan_in),
                 (self.features,), jnp.float32,
             )
-        if self.fold > 1:
-            segments = self.in_segments or (self.in_features,)
-            kernel = _fold_conv_kernel(kernel, segments, self.fold)
-            if bias is not None:
-                bias = jnp.tile(bias, self.fold)
-        dtype = self.dtype or x.dtype
-        x = x.astype(dtype)
-        kernel = kernel.astype(dtype)
+        parts = x if isinstance(x, (list, tuple)) else (x,)
+        dtype = self.dtype or parts[0].dtype
         pad = self.padding
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
-        y = jax.lax.conv_general_dilated(
-            x, kernel, (self.strides, self.strides), pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        )
+
+        y = None
+        start = 0
+        for part in parts:
+            cs = part.shape[-1] // self.fold
+            k = kernel[:, :, start : start + cs, :]
+            start += cs
+            if self.fold > 1:
+                k = _fold_conv_kernel(k, (cs,), self.fold)
+            yi = jax.lax.conv_general_dilated(
+                part.astype(dtype), k.astype(dtype),
+                (self.strides, self.strides), pad,
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            y = yi if y is None else y + yi
+        assert start == self.in_features, (start, self.in_features)
         if bias is not None:
-            y = y + bias.astype(dtype)
+            b = jnp.tile(bias, self.fold) if self.fold > 1 else bias
+            y = y + b.astype(dtype)
         return y
 
 
@@ -189,16 +202,13 @@ class Conv(nn.Module):
     use_bias: bool = True
     dtype: Optional[Dtype] = None
     fold: int = 1
-    in_segments: Optional[tuple] = None
+    kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x):
-        if self.fold > 1:
-            in_features = sum(self.in_segments) if self.in_segments else (
-                x.shape[-1] // self.fold
-            )
-        else:
-            in_features = x.shape[-1]
+        parts = x if isinstance(x, (list, tuple)) else (x,)
+        in_features = sum(p.shape[-1] for p in parts) // self.fold
         return _ConvParams(
             features=self.features,
             in_features=in_features,
@@ -208,7 +218,8 @@ class Conv(nn.Module):
             use_bias=self.use_bias,
             dtype=self.dtype,
             fold=self.fold,
-            in_segments=self.in_segments,
+            kernel_init=self.kernel_init,
+            bias_init=self.bias_init,
             name="conv",
         )(x)
 
@@ -236,8 +247,11 @@ class _DenseParams(nn.Module):
                 (self.features,), jnp.float32,
             )
         if self.fold > 1:
-            blocks = [kernel] * self.fold
-            kernel = jax.scipy.linalg.block_diag(*blocks)
+            eye = jnp.eye(self.fold, dtype=kernel.dtype)
+            kernel = jnp.einsum("io,ab->aibo", kernel, eye).reshape(
+                self.fold * self.in_features, self.fold * self.features
+            )
+            kernel = jax.lax.optimization_barrier(kernel)  # see _ConvParams
             if bias is not None:
                 bias = jnp.tile(bias, self.fold)
         dtype = self.dtype or x.dtype
@@ -273,16 +287,23 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class Upsample(nn.Module):
-    """nearest-x2 upsample + 3x3 conv (Diffusion_arch.py:72-76)."""
+    """nearest-x2 upsample + 3x3 conv (Diffusion_arch.py:72-76).
+
+    fold_out > 1: input is an UNfolded tensor; the upsampled tensor is
+    width-folded before the conv and the output stays folded."""
 
     dim_out: int
     dtype: Optional[Dtype] = None
+    fold_out: int = 1
 
     @nn.compact
     def __call__(self, x):
-        return Conv(self.dim_out, 3, dtype=self.dtype, name="conv")(
-            upsample_nearest_2x(x)
-        )
+        y = upsample_nearest_2x(x)
+        if self.fold_out > 1:
+            y = fold_width(y, self.fold_out)
+            return Conv(self.dim_out, 3, dtype=self.dtype, fold=self.fold_out,
+                        name="conv")(y)
+        return Conv(self.dim_out, 3, dtype=self.dtype, name="conv")(y)
 
 
 def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
@@ -299,14 +320,26 @@ def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
 
 
 class Downsample(nn.Module):
-    """space-to-depth + 1x1 conv (Diffusion_arch.py:78-82)."""
+    """space-to-depth + 1x1 conv (Diffusion_arch.py:78-82).
+
+    fold_in / fold_out: width-fold state of the input / output tensors; the
+    space-to-depth itself runs unfolded (pure reshapes on either side)."""
 
     dim_out: int
     dtype: Optional[Dtype] = None
+    fold_in: int = 1
+    fold_out: int = 1
 
     @nn.compact
     def __call__(self, x):
-        return Conv(self.dim_out, 1, dtype=self.dtype, name="conv")(space_to_depth(x))
+        if self.fold_in > 1:
+            x = unfold_width(x, self.fold_in)
+        y = space_to_depth(x)
+        if self.fold_out > 1:
+            y = fold_width(y, self.fold_out)
+            return Conv(self.dim_out, 1, dtype=self.dtype, fold=self.fold_out,
+                        name="conv")(y)
+        return Conv(self.dim_out, 1, dtype=self.dtype, name="conv")(y)
 
 
 class RMSNorm(nn.Module):
@@ -377,11 +410,23 @@ class LearnedSinusoidalPosEmb(nn.Module):
 
     hidden_dim: int
     dtype: Optional[Dtype] = None
+    fold: int = 1
 
     @nn.compact
     def __call__(self, coords):
-        x = Conv(self.hidden_dim, 1, dtype=self.dtype, name="weights")(coords)
+        x = Conv(self.hidden_dim, 1, dtype=self.dtype, fold=self.fold,
+                 name="weights")(coords)
         freqs = x * (2 * math.pi)
+        if self.fold > 1:
+            # folded output channel order must stay [beta*C3 + c] with
+            # C3 = 3*hidden: concat per beta block
+            hd = self.hidden_dim
+            parts = []
+            for b in range(self.fold):
+                xb = x[..., b * hd : (b + 1) * hd]
+                fb = freqs[..., b * hd : (b + 1) * hd]
+                parts.append(jnp.concatenate([xb, jnp.sin(fb), jnp.cos(fb)], axis=-1))
+            return jnp.concatenate(parts, axis=-1)
         return jnp.concatenate([x, jnp.sin(freqs), jnp.cos(freqs)], axis=-1)
 
 
@@ -392,12 +437,54 @@ class Mlp(nn.Module):
     out_features: int
     act: Callable = jax.nn.silu
     dtype: Optional[Dtype] = None
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
-        x = Conv(self.hidden_features, 1, dtype=self.dtype, name="fc1")(x)
+        x = Conv(self.hidden_features, 1, dtype=self.dtype, fold=self.fold,
+                 name="fc1")(x)
         x = self.act(x)
-        return Conv(self.out_features, 1, dtype=self.dtype, name="fc2")(x)
+        return Conv(self.out_features, 1, dtype=self.dtype, fold=self.fold,
+                    name="fc2")(x)
+
+
+class LayerNorm(nn.Module):
+    """nn.LayerNorm-compatible params ('scale', 'bias'); fold > 1 normalises
+    each folded pixel's real channel block independently (exact unfolded
+    semantics). Centered fp32 statistics like torch LayerNorm."""
+
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+    fold: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        cf = x.shape[-1]
+        c = cf // self.fold
+        scale = self.param("scale", jax.nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", jax.nn.initializers.zeros, (c,), jnp.float32)
+        xf = x.astype(jnp.float32)
+        if self.fold == 1:
+            mean = xf.mean(-1, keepdims=True)
+            var = ((xf - mean) ** 2).mean(-1, keepdims=True)
+            y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
+            return y.astype(x.dtype)
+        # folded: per-beta statistics WITHOUT lane slices/reshapes (profiled
+        # 10x slower): one (fold*c, fold*c) block-diagonal averaging matmul
+        # broadcasts each beta block's mean back to its own channels
+        import numpy as np
+
+        m_avg = jnp.asarray(
+            np.kron(np.eye(self.fold, dtype=np.float32), np.full((c, c), 1.0 / c))
+        )
+        hi = jax.lax.Precision.HIGHEST
+        mean = jnp.einsum("...c,cd->...d", xf, m_avg, precision=hi)
+        d = xf - mean
+        var = jnp.einsum("...c,cd->...d", d * d, m_avg, precision=hi)
+        scale_f = jnp.tile(scale, self.fold)
+        bias_f = jnp.tile(bias, self.fold)
+        y = d * jax.lax.rsqrt(var + self.epsilon) * scale_f + bias_f
+        return y.astype(x.dtype)
 
 
 class _GNParams(nn.Module):
@@ -406,17 +493,52 @@ class _GNParams(nn.Module):
     Named 'norm' inside the GroupNorm wrapper so the parameter paths stay
     norm/norm/{scale,bias} — the layout the torch-checkpoint keymap and
     existing snapshots expect. The fused path hands norm+FiLM+SiLU to the
-    single-pass Pallas kernel (ops/pallas/groupnorm_silu.py)."""
+    single-pass Pallas kernel (ops/pallas/groupnorm_silu.py).
+
+    fold > 1: x is width-folded (fold_width); parameters keep the real
+    channel width and per-group statistics pool both folded copies of each
+    channel (exactly the unfolded math)."""
 
     groups: int = 8
     eps: float = 1e-5
     dtype: Optional[Dtype] = None
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x, scale_shift=None, fuse_tail: bool = False):
-        b, h, w, c = x.shape
+        b, h, w, cf = x.shape
+        c = cf // self.fold
         scale = self.param("scale", jax.nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", jax.nn.initializers.zeros, (c,), jnp.float32)
+
+        if self.fold > 1:
+            # scale_shift (if any) arrives already folded from the caller
+            xf = x.astype(jnp.float32)
+            s_c = xf.sum(axis=(1, 2)).reshape(b, self.fold, c).sum(1)  # (b, c)
+            sq_c = (xf * xf).sum(axis=(1, 2)).reshape(b, self.fold, c).sum(1)
+            cnt = h * (w * self.fold) * (c // self.groups)
+            s_g = s_c.reshape(b, self.groups, -1).sum(-1)
+            sq_g = sq_c.reshape(b, self.groups, -1).sum(-1)
+            mean_g = s_g / cnt
+            var_g = sq_g / cnt - mean_g * mean_g
+            inv_g = jax.lax.rsqrt(var_g + self.eps)
+            mean_c = jnp.repeat(mean_g, c // self.groups, axis=1)
+            inv_c = jnp.repeat(inv_g, c // self.groups, axis=1)
+            scale_f = jnp.tile(scale, self.fold)[None, :]
+            bias_f = jnp.tile(bias, self.fold)[None, :]
+            # fold the normalisation into one per-(batch,channel) affine
+            # y = x*a + bb applied in the model dtype: materialising the
+            # f32 normalised activation costs 2x HBM traffic (profiled)
+            a = (jnp.tile(inv_c, (1, self.fold)) * scale_f)[:, None, None, :]
+            bb = (bias_f - jnp.tile(mean_c * inv_c, (1, self.fold)) * scale_f)[
+                :, None, None, :
+            ]
+            y = x * a.astype(x.dtype) + bb.astype(x.dtype)
+            if scale_shift is not None:
+                s, sh = scale_shift
+                y = y * (s + 1.0) + sh
+            return jax.nn.silu(y)
+        c = cf
 
         if fuse_tail:
             from ..ops.pallas.groupnorm_silu import fused_groupnorm_film_silu
@@ -446,10 +568,12 @@ class _GNParams(nn.Module):
         mean_g = s_g / cnt
         var_g = sq_g / cnt - mean_g * mean_g
         inv_g = jax.lax.rsqrt(var_g + self.eps)
-        mean_c = jnp.repeat(mean_g, c // self.groups, axis=1)[:, None, None, :]
-        inv_c = jnp.repeat(inv_g, c // self.groups, axis=1)[:, None, None, :]
-        y = ((xf - mean_c) * inv_c) * scale + bias
-        y = y.astype(x.dtype)
+        mean_c = jnp.repeat(mean_g, c // self.groups, axis=1)
+        inv_c = jnp.repeat(inv_g, c // self.groups, axis=1)
+        # one per-(batch,channel) affine in the model dtype (see fold path)
+        a = (inv_c * scale[None, :])[:, None, None, :]
+        bb = (bias[None, :] - mean_c * inv_c * scale[None, :])[:, None, None, :]
+        y = x * a.astype(x.dtype) + bb.astype(x.dtype)
         if scale_shift is not None:
             s, sh = scale_shift
             y = y * (s + 1.0) + sh
@@ -464,10 +588,11 @@ class GroupNorm(nn.Module):
 
     groups: int = 8
     dtype: Optional[Dtype] = None
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x, scale_shift=None, fuse_tail: bool = False):
-        return _GNParams(self.groups, dtype=self.dtype, name="norm")(
+        return _GNParams(self.groups, dtype=self.dtype, fold=self.fold, name="norm")(
             x, scale_shift, fuse_tail
         )
 
@@ -477,10 +602,12 @@ def _fuse_tail_ok(x, scale_shift) -> bool:
     the FiLM is per-batch broadcast (time-FiLM), and one sample's activations
     fit the VMEM budget.
 
-    Opt-in for now: the kernel is validated in interpret mode
-    (tests/test_groupnorm_kernel.py) but Mosaic compilation stalls on the
-    axon-tunneled v5e in this build image — to be re-verified on a directly
-    attached chip before flipping the default."""
+    Round-2 status: the kernel now compiles and validates on the real v5e
+    (fixed Mosaic block specs + HIGHEST-precision stats dots + chunked fp32
+    streaming), but stays opt-in because it does not beat the XLA path: the
+    GN here is fused per-channel reduces + a dtype-native affine (see
+    _GNParams) at near-peak HBM utilisation, while Mosaic DMA on this
+    runtime sustains only ~164 GB/s vs XLA's ~636 GB/s (BENCH_NOTES.md)."""
     import os
 
     if not os.environ.get("NOISEDIFF_FUSED_GN"):
@@ -506,12 +633,16 @@ class Block(nn.Module):
     groups: int = 8
     ks: int = 3
     dtype: Optional[Dtype] = None
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x, scale_shift=None):
-        x = Conv(self.dim_out, self.ks, dtype=self.dtype, name="proj")(x)
-        return GroupNorm(self.groups, dtype=self.dtype, name="norm")(
-            x, scale_shift, fuse_tail=_fuse_tail_ok(x, scale_shift)
+        x = Conv(
+            self.dim_out, self.ks, dtype=self.dtype, fold=self.fold, name="proj"
+        )(x)
+        return GroupNorm(self.groups, dtype=self.dtype, fold=self.fold, name="norm")(
+            x, scale_shift,
+            fuse_tail=self.fold == 1 and _fuse_tail_ok(x, scale_shift),
         )
 
 
@@ -527,24 +658,85 @@ class ResnetBlock(nn.Module):
     time_emb_dim: Optional[int] = None
     groups: int = 8
     dtype: Optional[Dtype] = None
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x, time_emb=None):
+        """x: a tensor or a tuple (channel-concat parts, e.g. skip joins)."""
         scale_shift = None
         if self.time_emb_dim is not None and time_emb is not None:
             t = Dense(self.dim_out * 2, dtype=self.dtype, name="mlp")(
                 jax.nn.silu(time_emb)
             )
             t = t[:, None, None, :]
-            scale_shift = jnp.split(t, 2, axis=-1)
+            scale, shift = jnp.split(t, 2, axis=-1)
+            if self.fold > 1:
+                scale = jnp.tile(scale, (1, 1, 1, self.fold))
+                shift = jnp.tile(shift, (1, 1, 1, self.fold))
+            scale_shift = (scale, shift)
 
-        h = Block(self.dim_out, self.groups, dtype=self.dtype, name="block1")(
-            x, scale_shift
-        )
-        h = Block(self.dim_out, self.groups, dtype=self.dtype, name="block2")(h)
-        if x.shape[-1] != self.dim_out:
-            x = Conv(self.dim_out, 1, dtype=self.dtype, name="res_conv")(x)
+        h = Block(
+            self.dim_out, self.groups, dtype=self.dtype, fold=self.fold,
+            name="block1",
+        )(x, scale_shift)
+        h = Block(self.dim_out, self.groups, dtype=self.dtype, fold=self.fold,
+                  name="block2")(h)
+        parts = x if isinstance(x, (list, tuple)) else (x,)
+        real_in = sum(p.shape[-1] for p in parts) // self.fold
+        if real_in != self.dim_out:
+            x = Conv(self.dim_out, 1, dtype=self.dtype, fold=self.fold,
+                     name="res_conv")(x)
+        elif isinstance(x, (list, tuple)):
+            x = jnp.concatenate(x, axis=-1)  # identity residual on a concat
         return h + x
+
+
+class _SplitFilmConv(nn.Module):
+    """Spatial-FiLM 1x1 conv whose single (1,1,pos_dim,2C) parameter (paths
+    'conv/kernel', 'conv/bias' — identical to Conv(dim_out*2, 1)) is applied
+    as two separate folded convs producing (scale, shift) directly in the
+    folded channel layout."""
+
+    dim_out: int
+    fold: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, pos_emb):
+        c = self.dim_out
+        in_f = pos_emb.shape[-1] // self.fold
+        k, b = _FilmParams(in_f, 2 * c, name="conv")()
+        dtype = self.dtype or pos_emb.dtype
+        outs = []
+        for half in range(2):  # 0 = scale, 1 = shift
+            ks = k[:, :, :, half * c : (half + 1) * c]
+            bs = b[half * c : (half + 1) * c]
+            kf = _fold_conv_kernel(ks, (in_f,), self.fold).astype(dtype)
+            y = jax.lax.conv_general_dilated(
+                pos_emb.astype(dtype), kf, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.tile(bs, self.fold).astype(dtype)
+            outs.append(y)
+        return tuple(outs)
+
+
+class _FilmParams(nn.Module):
+    """Raw (1,1,in,out) conv params with nn.Conv-compatible names."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", torch_kernel_init,
+            (1, 1, self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", partial(torch_bias_init, fan_in=self.in_features),
+            (self.features,), jnp.float32,
+        )
+        return kernel, bias
 
 
 class ResnetBlock2(nn.Module):
@@ -557,22 +749,33 @@ class ResnetBlock2(nn.Module):
     pos_emb_dim: Optional[int] = None
     groups: int = 8
     dtype: Optional[Dtype] = None
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x, pos_emb=None):
         scale_shift = None
         if self.pos_emb_dim is not None and pos_emb is not None:
-            p = Conv(self.dim_out * 2, 1, dtype=self.dtype, name="mlp")(
-                jax.nn.silu(pos_emb)
-            )
-            scale_shift = jnp.split(p, 2, axis=-1)
+            if self.fold > 1:
+                # split the film kernel into scale/shift halves at the
+                # PARAMETER level and run two folded convs — slicing the
+                # folded (.., fold*2C) activation into per-beta scale/shift
+                # pieces costs ~1ms of layout copies per block (profiled)
+                scale_shift = _SplitFilmConv(
+                    self.dim_out, fold=self.fold, dtype=self.dtype, name="mlp"
+                )(jax.nn.silu(pos_emb))
+            else:
+                p = Conv(self.dim_out * 2, 1, dtype=self.dtype, name="mlp")(
+                    jax.nn.silu(pos_emb)
+                )
+                scale_shift = jnp.split(p, 2, axis=-1)
 
-        h = Block(self.dim_out, self.groups, dtype=self.dtype, name="block1")(
-            x, scale_shift
-        )
-        h = Block(self.dim_out, self.groups, dtype=self.dtype, name="block2")(h)
-        if x.shape[-1] != self.dim_out:
-            x = Conv(self.dim_out, 1, dtype=self.dtype, name="res_conv")(x)
+        h = Block(self.dim_out, self.groups, dtype=self.dtype, fold=self.fold,
+                  name="block1")(x, scale_shift)
+        h = Block(self.dim_out, self.groups, dtype=self.dtype, fold=self.fold,
+                  name="block2")(h)
+        if x.shape[-1] // self.fold != self.dim_out:
+            x = Conv(self.dim_out, 1, dtype=self.dtype, fold=self.fold,
+                     name="res_conv")(x)
         return h + x
 
 
@@ -590,11 +793,12 @@ class CrossAttention(nn.Module):
     heads: int = 8
     dim_head: int = 64
     dtype: Optional[Dtype] = None
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x, context=None, mask=None):
         # x: (B, N, C); context: (B, M, Cc) or None (self-attention)
-        query_dim = x.shape[-1]
+        query_dim = x.shape[-1] // self.fold
         inner = self.heads * self.dim_head
         context = x if context is None else context
 
@@ -613,14 +817,21 @@ class CrossAttention(nn.Module):
             # on the surrounding graph (token-major layouts were profiled
             # poisoning adjacent conv layouts TPU-side).
             _ = to_q  # params still created for checkpoint compatibility
-            q = to_q(x[(slice(None),) + (slice(0, 1),) * (x.ndim - 2)])
+            q = to_q(
+                x[(slice(None),) + (slice(0, 1),) * (x.ndim - 2) + (slice(0, query_dim),)]
+            )
             del q  # traced for param shape; output unused
             _ = to_k(context)
             v = to_v(context)  # (B, 1, inner)
             out = to_out(v)  # (B, 1, query_dim)
-            out = out.reshape((x.shape[0],) + (1,) * (x.ndim - 2) + (query_dim,))
-            return jnp.broadcast_to(out, x.shape[:-1] + (query_dim,))
+            if self.fold > 1:
+                out = jnp.tile(out, (1, 1, self.fold))
+            out = out.reshape(
+                (x.shape[0],) + (1,) * (x.ndim - 2) + (query_dim * self.fold,)
+            )
+            return jnp.broadcast_to(out, x.shape)
 
+        assert self.fold == 1, "folded attention requires a single-token context"
         assert x.ndim == 3, "multi-token attention expects (B, N, C) tokens"
         q = to_q(x)
         k = to_k(context)
@@ -647,13 +858,15 @@ class FeedForward(nn.Module):
 
     mult: int = 2
     dtype: Optional[Dtype] = None
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
-        dim = x.shape[-1]
-        h = Dense(dim * self.mult, dtype=self.dtype, name="proj_in")(x)
+        dim = x.shape[-1] // self.fold
+        h = Dense(dim * self.mult, dtype=self.dtype, fold=self.fold,
+                  name="proj_in")(x)
         h = _gelu(h)
-        return Dense(dim, dtype=self.dtype, name="proj_out")(h)
+        return Dense(dim, dtype=self.dtype, fold=self.fold, name="proj_out")(h)
 
 
 class AttnBlock(nn.Module):
@@ -662,34 +875,41 @@ class AttnBlock(nn.Module):
     heads: int = 8
     dim_head: int = 64
     dtype: Optional[Dtype] = None
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x, context=None, mask=None):
-        b, h, w, c = x.shape
+        b, h, w, cf = x.shape
+        c = cf // self.fold
         x_in = x
         # single-token context (NoiseDiffNet's ISO embedding is (B, 1, 16)):
         # every sub-op acts on the channel axis only, so the whole block runs
-        # on the 4-D spatial tensor. The (B, H*W, C) token flattening the
-        # reference uses forces token-major layouts into the neighbouring
-        # convolutions on TPU (profiled: layout copies + de-optimised convs);
-        # only genuine multi-token attention pays for it.
+        # on the 4-D spatial tensor (optionally width-folded). The
+        # (B, H*W, C) token flattening the reference uses forces token-major
+        # layouts into the neighbouring convolutions on TPU (profiled:
+        # layout copies + de-optimised convs); only genuine multi-token
+        # attention pays for it.
         fast = context is not None and context.shape[1] == 1 and mask is None
-        tokens = x if fast else x.reshape(b, h * w, c)
-        normed = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(tokens)
+        assert fast or self.fold == 1, "folded AttnBlock needs 1-token context"
+        tokens = x if fast else x.reshape(b, h * w, cf)
+        normed = LayerNorm(epsilon=1e-5, dtype=self.dtype, fold=self.fold,
+                           name="norm1")(tokens)
         tokens = (
-            CrossAttention(self.heads, self.dim_head, dtype=self.dtype, name="attn")(
+            CrossAttention(self.heads, self.dim_head, dtype=self.dtype,
+                           fold=self.fold, name="attn")(
                 normed, context=context, mask=mask
             )
             + tokens
         )
         tokens = (
-            FeedForward(dtype=self.dtype, name="ff")(
-                nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(tokens)
+            FeedForward(dtype=self.dtype, fold=self.fold, name="ff")(
+                LayerNorm(epsilon=1e-5, dtype=self.dtype, fold=self.fold,
+                          name="norm2")(tokens)
             )
             + tokens
         )
-        x = tokens if fast else tokens.reshape(b, h, w, c)
-        x = Conv(c, 1, dtype=self.dtype, name="proj_out")(x)
+        x = tokens if fast else tokens.reshape(b, h, w, cf)
+        x = Conv(c, 1, dtype=self.dtype, fold=self.fold, name="proj_out")(x)
         return x + x_in
 
 

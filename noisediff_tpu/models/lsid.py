@@ -18,6 +18,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from .blocks import _ConvParams, fold_width, unfold_width
+
 
 def _he_fanout_conv(key, shape, dtype):
     # flax Conv kernel: (kh, kw, in, out); n = kh*kw*out (reference fan-out rule)
@@ -27,15 +29,22 @@ def _he_fanout_conv(key, shape, dtype):
 
 
 class _ConvLrelu(nn.Module):
+    """conv3x3 + LeakyReLU(0.2); fold > 1 runs width-folded (blocks.Conv
+    transforms the kernel, parameters keep nn.Conv-compatible paths)."""
+
     features: int
     dtype: Optional[Any] = None
+    fold: int = 1
 
     @nn.compact
     def __call__(self, x):
-        x = nn.Conv(
-            self.features, (3, 3), padding="SAME",
-            kernel_init=_he_fanout_conv, bias_init=jax.nn.initializers.zeros,
-            dtype=self.dtype, name="conv",
+        parts = x if isinstance(x, (list, tuple)) else (x,)
+        in_features = sum(p.shape[-1] for p in parts) // self.fold
+        x = _ConvParams(
+            features=self.features, in_features=in_features, kernel_size=3,
+            strides=1, padding="SAME", use_bias=True, dtype=self.dtype,
+            fold=self.fold, kernel_init=_he_fanout_conv,
+            bias_init=jax.nn.initializers.zeros, name="conv",
         )(x)
         return jax.nn.leaky_relu(x, negative_slope=0.2)
 
@@ -50,9 +59,18 @@ class LSID(nn.Module):
     inchannel: int = 4
     block_size: int = 2
     dtype: Optional[Any] = None
+    # width-fold the narrow (C < 96) levels; see NoiseDiffNet.lane_fold.
+    # None = auto (on for the TPU backend when the width allows it).
+    lane_fold: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x):
+        lane_fold = self.lane_fold
+        if lane_fold is None:
+            lane_fold = jax.default_backend() == "tpu"
+        # levels 1/2 fold; their widths must stay even through two pools
+        lane_fold = lane_fold and x.shape[2] % 4 == 0
+        F = 2 if lane_fold else 1
         conv = partial(_ConvLrelu, dtype=self.dtype)
 
         def up(features, name):
@@ -61,15 +79,23 @@ class LSID(nn.Module):
                 kernel_init=_he_fanout_conv, dtype=self.dtype, name=name,
             )
 
-        x = conv(32, name="conv1_1")(x)
-        x = conv(32, name="conv1_2")(x)
-        c1 = x
-        x = _maxpool_ceil(x)
+        def pool_folded(x, f):
+            # pool/fold boundaries are pure reshapes on the minor dims
+            if f > 1:
+                return fold_width(_maxpool_ceil(unfold_width(x, f)), f)
+            return _maxpool_ceil(x)
 
-        x = conv(64, name="conv2_1")(x)
-        x = conv(64, name="conv2_2")(x)
+        if F > 1:
+            x = fold_width(x, F)
+        x = conv(32, fold=F, name="conv1_1")(x)
+        x = conv(32, fold=F, name="conv1_2")(x)
+        c1 = x  # folded skip
+        x = pool_folded(x, F)
+
+        x = conv(64, fold=F, name="conv2_1")(x)
+        x = conv(64, fold=F, name="conv2_2")(x)
         c2 = x
-        x = _maxpool_ceil(x)
+        x = _maxpool_ceil(unfold_width(x, F) if F > 1 else x)
 
         x = conv(128, name="conv3_1")(x)
         x = conv(128, name="conv3_2")(x)
@@ -87,7 +113,7 @@ class LSID(nn.Module):
         def merge(x, skip):
             # crop the upsampled map to the skip's spatial size (SID_arch.py:140)
             x = x[:, : skip.shape[1], : skip.shape[2], :]
-            return jnp.concatenate([x, skip], axis=-1)
+            return (x, skip)  # channel-concat as conv parts (blocks._ConvParams)
 
         x = merge(up(256, "up6")(x), c4)
         x = conv(256, name="conv6_1")(x)
@@ -97,16 +123,28 @@ class LSID(nn.Module):
         x = conv(128, name="conv7_1")(x)
         x = conv(128, name="conv7_2")(x)
 
-        x = merge(up(64, "up8")(x), c2)
-        x = conv(64, name="conv8_1")(x)
-        x = conv(64, name="conv8_2")(x)
+        def merge_folded(x, skip, f):
+            # upsampled map arrives unfolded; skip is folded
+            if f > 1:
+                x = x[:, : skip.shape[1], : skip.shape[2] * f, :]
+                return (fold_width(x, f), skip)
+            return merge(x, skip)
 
-        x = merge(up(32, "up9")(x), c1)
-        x = conv(32, name="conv9_1")(x)
-        x = conv(32, name="conv9_2")(x)
+        x = merge_folded(up(64, "up8")(x), c2, F)
+        x = conv(64, fold=F, name="conv8_1")(x)
+        x = conv(64, fold=F, name="conv8_2")(x)
 
-        return nn.Conv(
-            self.inchannel, (1, 1),
+        x = unfold_width(x, F) if F > 1 else x
+        x = merge_folded(up(32, "up9")(x), c1, F)
+        x = conv(32, fold=F, name="conv9_1")(x)
+        x = conv(32, fold=F, name="conv9_2")(x)
+
+        y = _ConvParams(
+            features=self.inchannel, in_features=32, kernel_size=1, strides=1,
+            padding="SAME", use_bias=True, dtype=self.dtype, fold=F,
             kernel_init=_he_fanout_conv, bias_init=jax.nn.initializers.zeros,
-            dtype=self.dtype, name="conv10",
+            name="conv10",
         )(x)
+        if F > 1:
+            y = unfold_width(y, F)
+        return y

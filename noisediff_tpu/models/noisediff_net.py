@@ -37,6 +37,8 @@ from .blocks import (
     TimeMlp,
     Upsample,
     _gelu,
+    fold_width,
+    unfold_width,
 )
 
 
@@ -55,6 +57,13 @@ class NoiseDiffNet(nn.Module):
     # FLOPs for HBM, enabling larger crops/batches in training (the reference
     # has no equivalent; 512-crop bs-4 training is HBM-bound on one chip)
     remat: bool = False
+    # width-fold (1x2 space-to-depth) residency for the narrow (dim<96)
+    # stages: C=48 tensors waste 62.5% of every 128-lane HBM transaction on
+    # TPU and hit the conv emitter's per-pixel floor; folding width into
+    # channels (pure reshapes + kernel transforms, numerically exact modulo
+    # fp reduction order) measured ~2.2x faster stage-1 convs. None = auto
+    # (enabled on the TPU backend when the spatial width allows it).
+    lane_fold: Optional[bool] = None
 
     @property
     def downsample_factor(self) -> int:
@@ -83,12 +92,24 @@ class NoiseDiffNet(nn.Module):
         in_out = list(zip(dims[:-1], dims[1:]))
         num_stages = len(in_out)
 
+        # width-fold policy (see lane_fold): fold the stages whose channel
+        # width underfills the TPU's 128-lane tiles; needs W % 4 == 0 so
+        # both 48-wide stages (full and half resolution) have even width
+        lane_fold = self.lane_fold
+        if lane_fold is None:
+            lane_fold = jax.default_backend() == "tpu"
+        lane_fold = lane_fold and x.shape[2] % 4 == 0 and dim < 96
+        F = 2 if lane_fold else 1
+        stage_fold = [F if d < 96 else 1 for d in dims]
+
         # positional condition: fourier features of the coord grid -> MLP
-        pos_emb = LearnedSinusoidalPosEmb(self.pos_dim, dtype=self.dtype, name="pos_enc")(
-            position
-        )
+        pos_in = fold_width(position, F) if F > 1 else position
+        pos_emb = LearnedSinusoidalPosEmb(
+            self.pos_dim, dtype=self.dtype, fold=F, name="pos_enc"
+        )(pos_in)
         pos_emb = Mlp(
-            self.pos_dim * 2, self.pos_dim, act=_gelu, dtype=self.dtype, name="pos_mlp"
+            self.pos_dim * 2, self.pos_dim, act=_gelu, dtype=self.dtype, fold=F,
+            name="pos_mlp",
         )(pos_emb)
 
         # camera condition: one embedding token per sample, context of every attn
@@ -107,50 +128,71 @@ class NoiseDiffNet(nn.Module):
         t = TimeMlp(dim, time_dim, dtype=self.dtype, name="time_mlp")(time)
 
         # shot-noise branch: pixelwise signal-dependent head (:566-604)
-        shot = Mlp(dim, dim, act=_gelu, dtype=self.dtype, name="shot_mlp1")(
-            jnp.concatenate([clean_img, x], axis=-1)
+        shot_in = jnp.concatenate([clean_img, x], axis=-1)
+        if F > 1:
+            shot_in = fold_width(shot_in, F)
+        shot = Mlp(dim, dim, act=_gelu, dtype=self.dtype, fold=F, name="shot_mlp1")(
+            shot_in
         )
         shot_res = shot
         shot = AttnBlock(
-            self.attn_heads, self.attn_dim_head, dtype=self.dtype, name="shot_attn"
+            self.attn_heads, self.attn_dim_head, dtype=self.dtype, fold=F,
+            name="shot_attn",
         )(shot, iso_emb)
-        shot = Mlp(dim, dim, act=_gelu, dtype=self.dtype, name="shot_mlp2")(shot)
-        shot = Res(
-            dim, time_emb_dim=time_dim, groups=2, dtype=self.dtype, name="shot_time"
-        )(shot, t)
-        shot = shot + shot_res
-        shot_noise = Mlp(dim, self.channels, act=_gelu, dtype=self.dtype, name="shot_mlp3")(
+        shot = Mlp(dim, dim, act=_gelu, dtype=self.dtype, fold=F, name="shot_mlp2")(
             shot
         )
+        shot = Res(
+            dim, time_emb_dim=time_dim, groups=2, dtype=self.dtype, fold=F,
+            name="shot_time",
+        )(shot, t)
+        shot = shot + shot_res
+        shot_noise = Mlp(
+            dim, self.channels, act=_gelu, dtype=self.dtype, fold=F, name="shot_mlp3"
+        )(shot)
+        if F > 1:
+            shot_noise = unfold_width(shot_noise, F)
 
         # UNet trunk (read-noise branch)
-        x = Conv(dim, 7, dtype=self.dtype, name="init_conv")(x)
+        x = fold_width(x, F) if F > 1 else x
+        x = Conv(dim, 7, dtype=self.dtype, fold=F, name="init_conv")(x)
         r = x
         x = ResnetBlock2(
-            dim, pos_emb_dim=self.pos_dim, groups=2, dtype=self.dtype, name="pos_block1"
+            dim, pos_emb_dim=self.pos_dim, groups=2, dtype=self.dtype, fold=F,
+            name="pos_block1",
         )(x, pos_emb)
 
         skips = []
+        skip_folds = []
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= num_stages - 1
+            f_in, f_out = stage_fold[ind], stage_fold[ind + 1]
             x = Res(
                 dim_in, time_emb_dim=time_dim, groups=self.resnet_block_groups,
-                dtype=self.dtype, name=f"downs_{ind}_block1",
+                dtype=self.dtype, fold=f_in, name=f"downs_{ind}_block1",
             )(x, t)
             skips.append(x)
+            skip_folds.append(f_in)
             x = Res(
                 dim_in, time_emb_dim=time_dim, groups=self.resnet_block_groups,
-                dtype=self.dtype, name=f"downs_{ind}_block2",
+                dtype=self.dtype, fold=f_in, name=f"downs_{ind}_block2",
             )(x, t)
             skips.append(x)
+            skip_folds.append(f_in)
             x = AttnBlock(
-                self.attn_heads, self.attn_dim_head, dtype=self.dtype,
+                self.attn_heads, self.attn_dim_head, dtype=self.dtype, fold=f_in,
                 name=f"downs_{ind}_attn",
             )(x, iso_emb)
             if not is_last:
-                x = Downsample(dim_out, dtype=self.dtype, name=f"downs_{ind}_down")(x)
+                x = Downsample(
+                    dim_out, dtype=self.dtype, fold_in=f_in, fold_out=f_out,
+                    name=f"downs_{ind}_down",
+                )(x)
             else:
-                x = Conv(dim_out, 3, dtype=self.dtype, name=f"downs_{ind}_down")(x)
+                x = Conv(dim_out, 3, dtype=self.dtype, fold=f_in,
+                         name=f"downs_{ind}_down")(x)
+                if f_in > 1 and f_out == 1:
+                    x = unfold_width(x, f_in)
 
         mid_dim = dims[-1]
         x = Res(
@@ -164,33 +206,59 @@ class NoiseDiffNet(nn.Module):
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == num_stages - 1
-            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            stage = num_stages - 1 - ind  # the down stage this mirrors
+            f_out = stage_fold[stage + 1]  # fold of the tensors at dim_out
+            f_in = stage_fold[stage]  # fold of this stage's output (dim_in)
+            # skip joins as TUPLES: conv(concat(a,b)) == conv(a)+conv(b), so
+            # the concat copy (and, folded, the multi-segment kernel
+            # scatter XLA mis-optimises) never materialises
+            skip = skips.pop()
+            sf = skip_folds.pop()
+            if f_out == 1 and sf > 1:
+                skip = unfold_width(skip, sf)
             x = Res(
                 dim_out, time_emb_dim=time_dim, groups=self.resnet_block_groups,
-                dtype=self.dtype, name=f"ups_{ind}_block1",
-            )(x, t)
-            x = jnp.concatenate([x, skips.pop()], axis=-1)
+                dtype=self.dtype, fold=f_out, name=f"ups_{ind}_block1",
+            )((x, skip), t)
+            skip = skips.pop()
+            sf = skip_folds.pop()
+            if f_out == 1 and sf > 1:
+                skip = unfold_width(skip, sf)
             x = Res(
                 dim_out, time_emb_dim=time_dim, groups=self.resnet_block_groups,
-                dtype=self.dtype, name=f"ups_{ind}_block2",
-            )(x, t)
+                dtype=self.dtype, fold=f_out, name=f"ups_{ind}_block2",
+            )((x, skip), t)
             x = AttnBlock(
-                self.attn_heads, self.attn_dim_head, dtype=self.dtype,
+                self.attn_heads, self.attn_dim_head, dtype=self.dtype, fold=f_out,
                 name=f"ups_{ind}_attn",
             )(x, iso_emb)
             if not is_last:
-                x = Upsample(dim_in, dtype=self.dtype, name=f"ups_{ind}_up")(x)
+                if f_out > 1 and f_in > 1:
+                    # stays in folded land across the upsample: unfold,
+                    # nearest-x2, refold inside Upsample
+                    x = unfold_width(x, f_out)
+                    x = Upsample(dim_in, dtype=self.dtype, fold_out=f_in,
+                                 name=f"ups_{ind}_up")(x)
+                elif f_in > 1:
+                    x = Upsample(dim_in, dtype=self.dtype, fold_out=f_in,
+                                 name=f"ups_{ind}_up")(x)
+                else:
+                    x = Upsample(dim_in, dtype=self.dtype, name=f"ups_{ind}_up")(x)
             else:
-                x = Conv(dim_in, 3, dtype=self.dtype, name=f"ups_{ind}_up")(x)
+                x = Conv(dim_in, 3, dtype=self.dtype, fold=f_out,
+                         name=f"ups_{ind}_up")(x)
 
         x = ResnetBlock2(
-            dim, pos_emb_dim=self.pos_dim, groups=2, dtype=self.dtype, name="pos_block2"
+            dim, pos_emb_dim=self.pos_dim, groups=2, dtype=self.dtype, fold=F,
+            name="pos_block2",
         )(x, pos_emb)
 
-        x = jnp.concatenate([x, r], axis=-1)
         x = Res(
             dim, time_emb_dim=time_dim, groups=self.resnet_block_groups,
-            dtype=self.dtype, name="final_res_block",
-        )(x, t)
-        read_noise = Conv(self.channels, 1, dtype=self.dtype, name="final_conv")(x)
+            dtype=self.dtype, fold=F, name="final_res_block",
+        )((x, r), t)
+        read_noise = Conv(self.channels, 1, dtype=self.dtype, fold=F,
+                          name="final_conv")(x)
+        if F > 1:
+            read_noise = unfold_width(read_noise, F)
         return shot_noise + read_noise

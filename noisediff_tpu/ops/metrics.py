@@ -90,6 +90,65 @@ def ssim(
     return s.mean()
 
 
+def psnr_matlab(img1: np.ndarray, img2: np.ndarray) -> float:
+    """MATLAB-protocol PSNR over [0, 255] images with inf on identical
+    inputs (utils/calculate_PSNR_SSIM.py:38-47)."""
+    a = np.asarray(img1, np.float64)
+    b = np.asarray(img2, np.float64)
+    mse = float(np.mean((a - b) ** 2))
+    if mse == 0:
+        return float("inf")
+    return 20.0 * np.log10(255.0 / np.sqrt(mse))
+
+
+def bgr2ycbcr(img: np.ndarray, only_y: bool = True) -> np.ndarray:
+    """BGR->YCbCr with the ITU-R BT.601 MATLAB coefficients
+    (utils/calculate_PSNR_SSIM.py:93-114): uint8 in [0,255] or float in
+    [0,1], output in the input's type/range."""
+    in_type = img.dtype
+    x = img.astype(np.float32)
+    if in_type != np.uint8:
+        x = x * 255.0
+    if only_y:
+        out = x @ np.array([24.966, 128.553, 65.481], np.float32) / 255.0 + 16.0
+    else:
+        out = x @ np.array(
+            [[24.966, 112.0, -18.214],
+             [128.553, -74.203, -93.786],
+             [65.481, -37.797, 112.0]], np.float32,
+        ) / 255.0 + np.array([16, 128, 128], np.float32)
+    if in_type == np.uint8:
+        out = out.round()
+    else:
+        out = out / 255.0
+    return out.astype(in_type)
+
+
+def tensor2img(arr: np.ndarray, out_type=np.uint8, min_max=(0.0, 1.0)) -> np.ndarray:
+    """CHW (or BCHW grid / HW) array -> HWC image like the reference's
+    tensor2img (utils/calculate_PSNR_SSIM.py:13-35): clamp to min_max,
+    rescale to [0,1], RGB->BGR channel flip, optional uint8 rounding.
+    4-D inputs are tiled into a square grid (torchvision make_grid, pad 0)."""
+    x = np.asarray(arr, np.float32)
+    x = np.squeeze(x)
+    x = np.clip(x, *min_max)
+    x = (x - min_max[0]) / (min_max[1] - min_max[0])
+    if x.ndim == 4:  # (B, C, H, W) -> square grid
+        n, c, h, w = x.shape
+        nrow = int(np.sqrt(n))
+        ncol = int(np.ceil(n / nrow))
+        grid = np.zeros((c, h * ncol, w * nrow), np.float32)
+        for i in range(n):
+            r, col = divmod(i, nrow)
+            grid[:, r * h : (r + 1) * h, col * w : (col + 1) * w] = x[i]
+        x = grid
+    if x.ndim == 3:
+        x = np.transpose(x[[2, 1, 0], :, :], (1, 2, 0))  # CHW RGB -> HWC BGR
+    if out_type == np.uint8:
+        x = (x * 255.0).round()
+    return x.astype(out_type)
+
+
 def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     half = size // 2
     coords = jnp.arange(-half, half + 1, dtype=jnp.float32)

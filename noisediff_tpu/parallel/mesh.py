@@ -66,13 +66,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch, spatial: bool = False):
-    """device_put a pytree of host arrays with batch-dim sharding."""
+    """Place a pytree of host arrays with batch-dim sharding.
+
+    Single process: device_put. Multi-host (jax.process_count() > 1): the
+    input is each process's LOCAL shard (the per-rank batch produced by
+    ShardedIterSampler — the reference's DistIterSampler semantics) and is
+    assembled into a global array without any cross-host transfer."""
+    multihost = jax.process_count() > 1
 
     def put(x):
         x = np.asarray(x)
-        if x.ndim == 0:
-            return jax.device_put(x, replicated(mesh))
-        return jax.device_put(x, data_sharding(mesh, x.ndim, spatial=spatial))
+        sh = (
+            replicated(mesh)
+            if x.ndim == 0
+            else data_sharding(mesh, x.ndim, spatial=spatial)
+        )
+        if multihost:
+            return jax.make_array_from_process_local_data(sh, x)
+        return jax.device_put(x, sh)
 
     return jax.tree.map(put, batch)
 

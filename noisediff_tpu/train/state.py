@@ -153,9 +153,11 @@ def make_denoising_train_step(
         clean = batch["clean_img"]
 
         if augment_flip:
+            # the reference flips NCHW dim 2 == HEIGHT (trainer_denoising.py
+            # :107-110); NHWC equivalent is axis 1
             flip = jax.random.bernoulli(k_flip)
-            noisy = jnp.where(flip, noisy[:, :, ::-1, :], noisy)
-            clean = jnp.where(flip, clean[:, :, ::-1, :], clean)
+            noisy = jnp.where(flip, noisy[:, ::-1, :, :], noisy)
+            clean = jnp.where(flip, clean[:, ::-1, :, :], clean)
 
         if use_sna:
             aug_wb = sna_ops.sample_aug_wb(k_wb, clean.shape[0])

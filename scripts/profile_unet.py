@@ -20,12 +20,20 @@ from noisediff_tpu.ops.schedules import make_schedule
 
 
 def timed(fn, *args, n=10):
-    out = fn(*args)
-    jax.block_until_ready(out)
+    """Per-call seconds with a host value-fetch sync each iteration.
+
+    block_until_ready returns early on the axon-tunneled runtime
+    (BENCH_NOTES.md), so timing must fetch a scalar from the result."""
+
+    def fetch(o):
+        leaf = jax.tree.leaves(o)[0]
+        return float(jnp.asarray(leaf).astype(jnp.float32).sum())
+
+    fetch(fn(*args))  # compile + warmup
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
-    jax.block_until_ready(out)
+    fetch(out)
     return (time.perf_counter() - t0) / n
 
 

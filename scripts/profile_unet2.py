@@ -40,22 +40,21 @@ def main():
         out, _ = jax.lax.scan(body, xx, None, length=K)
         return out
 
-    out = fused(params, x)
-    jax.block_until_ready(out)
+    # value-fetch sync: block_until_ready returns early on the axon runtime
+    float(fused(params, x).astype(jnp.float32).mean())
     t0 = time.perf_counter()
-    out = fused(params, x)
-    jax.block_until_ready(out)
+    float(fused(params, x).astype(jnp.float32).mean())
     dt_fused = (time.perf_counter() - t0) / K
     print(f"fused {K}-eval scan: {dt_fused*1e3:.2f} ms/eval")
 
     # K separate dispatches
     jfwd = jax.jit(fwd)
     out = jfwd(params, x)
-    jax.block_until_ready(out)
+    float(out.astype(jnp.float32).mean())
     t0 = time.perf_counter()
     for _ in range(K):
         out = jfwd(params, out.astype(x.dtype))  # dependent chain, no overlap tricks
-    jax.block_until_ready(out)
+    float(out.astype(jnp.float32).mean())
     dt_sep = (time.perf_counter() - t0) / K
     print(f"separate dispatch chain: {dt_sep*1e3:.2f} ms/eval")
 

@@ -48,3 +48,38 @@ def test_generate_full_frame_spatially_sharded():
         mesh=mesh1, sampler="dpm", sampling_timesteps=3,
     )
     np.testing.assert_allclose(out, out1, rtol=1e-4, atol=1e-5)
+
+
+def test_generate_full_frame_real_sid_shape():
+    """The REAL packed SID frame shape (1424, 2128) sharded 8-ways over
+    'spatial': proves the conv halo exchange at the true aspect ratio and
+    per-shard sizes (178 rows/device), not just the 32x48 miniature.
+    One DPM-Solver step keeps the CPU run tractable."""
+    model = NoiseDiffNet(dim=16)
+    h, w = 1424, 2128
+    xs = jnp.zeros((1, 32, 32, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    cond = {
+        "clean_img": xs,
+        "position": jnp.zeros((1, 32, 32, 2)),
+        "iso_ratio_idx": jnp.zeros((1,), jnp.int32),
+    }
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), xs, t, cond)["params"]
+
+    def apply_fn(p, xx, tt, condition):
+        return model.apply({"params": p}, xx, tt, condition)
+
+    gd = GaussianDiffusion(
+        apply_fn=apply_fn,
+        schedule=make_schedule("sigmoid2", 8),
+        image_size=h,
+        objective="pred_v",
+    )
+    mesh = make_mesh({SPATIAL_AXIS: 8}, devices=jax.devices()[:8])
+    clean = np.random.default_rng(0).uniform(0, 1, (h, w, 4)).astype(np.float32)
+    out = generate_full_frame(
+        gd, params, jax.random.PRNGKey(1), clean, iso_ratio_idx=24,
+        mesh=mesh, sampler="dpm", sampling_timesteps=1,
+    )
+    assert out.shape == (h, w, 4)
+    assert np.isfinite(out).all()
