@@ -28,6 +28,7 @@ from typing import Any, Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 Dtype = Any
@@ -44,7 +45,13 @@ def torch_bias_init(key, shape, dtype, fan_in: int):
 
 
 def _gelu(x):
-    # torch nn.GELU() defaults to the exact erf formulation.
+    # torch nn.GELU() defaults to the exact erf formulation; keep it for
+    # fp32. In bf16 the tanh approximation differs from exact GELU by less
+    # than the output rounding (|err| < 3e-4 abs, bf16 eps ~ 4e-3 rel) and
+    # the erf epilogue is VPU-bound on TPU (profiled ~1ms per full-res
+    # FeedForward), so bf16 uses the approximation.
+    if x.dtype == jnp.bfloat16:
+        return jax.nn.gelu(x, approximate=True)
     return jax.nn.gelu(x, approximate=False)
 
 
@@ -69,8 +76,6 @@ def _fold_selector(kw: int, fold: int) -> "np.ndarray":
     """Constant selection tensor P (kw, kw_f, fold_in, fold_out) with
     P[q, dj, bin, bout] = 1 iff original tap q maps to folded block-column
     dj for input phase bin / output phase bout."""
-    import numpy as np
-
     p = (kw - 1) // 2
     djs = [
         (q - p - bi + bo) // 2
@@ -246,15 +251,26 @@ class _DenseParams(nn.Module):
                 "bias", partial(torch_bias_init, fan_in=self.in_features),
                 (self.features,), jnp.float32,
             )
+        dtype = self.dtype or x.dtype
+        if self.fold > 1 and x.ndim == 4:
+            # folded 4-D path: run as a folded 1x1 conv — a block-diagonal
+            # dense kernel gets rewritten by XLA into activation-sized
+            # masked selects (profiled ~0.8ms each), the conv path doesn't
+            k = _fold_conv_kernel(kernel[None, None], (self.in_features,), self.fold)
+            y = jax.lax.conv_general_dilated(
+                x.astype(dtype), k.astype(dtype), (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if bias is not None:
+                y = y + jnp.tile(bias, self.fold).astype(dtype)
+            return y
         if self.fold > 1:
             eye = jnp.eye(self.fold, dtype=kernel.dtype)
             kernel = jnp.einsum("io,ab->aibo", kernel, eye).reshape(
                 self.fold * self.in_features, self.fold * self.features
             )
-            kernel = jax.lax.optimization_barrier(kernel)  # see _ConvParams
             if bias is not None:
                 bias = jnp.tile(bias, self.fold)
-        dtype = self.dtype or x.dtype
         y = x.astype(dtype) @ kernel.astype(dtype)
         if bias is not None:
             y = y + bias.astype(dtype)
@@ -463,28 +479,38 @@ class LayerNorm(nn.Module):
         c = cf // self.fold
         scale = self.param("scale", jax.nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", jax.nn.initializers.zeros, (c,), jnp.float32)
-        xf = x.astype(jnp.float32)
         if self.fold == 1:
-            mean = xf.mean(-1, keepdims=True)
-            var = ((xf - mean) ** 2).mean(-1, keepdims=True)
-            y = (xf - mean) * jax.lax.rsqrt(var + self.epsilon) * scale + bias
-            return y.astype(x.dtype)
+            # fp32 accumulation inside the fused reduces; the broadcast stats
+            # and the normalise itself stay in the model dtype (an fp32 copy
+            # of the activation would double HBM traffic)
+            mean = x.astype(jnp.float32).mean(-1, keepdims=True).astype(x.dtype)
+            d = x - mean
+            var = (
+                (d.astype(jnp.float32) ** 2).mean(-1, keepdims=True).astype(x.dtype)
+            )
+            y = d * jax.lax.rsqrt(var + jnp.asarray(self.epsilon, x.dtype))
+            return y * scale.astype(x.dtype) + bias.astype(x.dtype)
         # folded: per-beta statistics WITHOUT lane slices/reshapes (profiled
         # 10x slower): one (fold*c, fold*c) block-diagonal averaging matmul
-        # broadcasts each beta block's mean back to its own channels
-        import numpy as np
-
+        # broadcasts each beta block's mean back to its own channels. The
+        # matmuls run on model-dtype tensors with fp32 accumulation
+        # (preferred_element_type) and the broadcast stats are kept in the
+        # model dtype — materialising fp32 stat maps doubles HBM traffic
+        # (profiled ~0.4 ms per map at this shape).
         m_avg = jnp.asarray(
             np.kron(np.eye(self.fold, dtype=np.float32), np.full((c, c), 1.0 / c))
-        )
-        hi = jax.lax.Precision.HIGHEST
-        mean = jnp.einsum("...c,cd->...d", xf, m_avg, precision=hi)
-        d = xf - mean
-        var = jnp.einsum("...c,cd->...d", d * d, m_avg, precision=hi)
-        scale_f = jnp.tile(scale, self.fold)
-        bias_f = jnp.tile(bias, self.fold)
-        y = d * jax.lax.rsqrt(var + self.epsilon) * scale_f + bias_f
-        return y.astype(x.dtype)
+        ).astype(x.dtype)
+        mean = jnp.einsum(
+            "...c,cd->...d", x, m_avg, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        d = x - mean
+        var = jnp.einsum(
+            "...c,cd->...d", d * d, m_avg, preferred_element_type=jnp.float32
+        ).astype(x.dtype)
+        scale_f = jnp.tile(scale, self.fold).astype(x.dtype)
+        bias_f = jnp.tile(bias, self.fold).astype(x.dtype)
+        y = d * jax.lax.rsqrt(var + jnp.asarray(self.epsilon, x.dtype)) * scale_f
+        return y + bias_f
 
 
 class _GNParams(nn.Module):

@@ -28,6 +28,8 @@ from .blocks import (
     TimeMlp,
     Upsample,
     _gelu,
+    fold_width,
+    unfold_width,
 )
 
 
@@ -45,6 +47,8 @@ class PosEmbUNet(nn.Module):
     use_position: bool = True
     use_iso_attn: bool = False
     dtype: Optional[Any] = None
+    # width-fold the narrow (dim < 96) stages; see NoiseDiffNet.lane_fold
+    lane_fold: Optional[bool] = None
 
     @property
     def downsample_factor(self) -> int:
@@ -70,14 +74,24 @@ class PosEmbUNet(nn.Module):
         in_out = list(zip(dims[:-1], dims[1:]))
         num_stages = len(in_out)
 
+        lane_fold = self.lane_fold
+        if lane_fold is None:
+            lane_fold = jax.default_backend() == "tpu"
+        lane_fold = lane_fold and x.shape[2] % 4 == 0 and dim < 96
+        F = 2 if lane_fold else 1
+        stage_fold = [F if d < 96 else 1 for d in dims]
+
         pos_emb = None
         if self.use_position:
+            pos_in = position.astype(x.dtype)
+            if F > 1:
+                pos_in = fold_width(pos_in, F)
             pos_emb = LearnedSinusoidalPosEmb(
-                self.pos_dim, dtype=self.dtype, name="pos_enc"
-            )(position.astype(x.dtype))
+                self.pos_dim, dtype=self.dtype, fold=F, name="pos_enc"
+            )(pos_in)
             pos_emb = Mlp(
                 self.pos_dim * 2, self.pos_dim, act=_gelu, dtype=self.dtype,
-                name="pos_mlp",
+                fold=F, name="pos_mlp",
             )(pos_emb)
 
         iso_emb = None
@@ -88,50 +102,62 @@ class PosEmbUNet(nn.Module):
             )(iso_ratio_idx.astype(jnp.int32))[:, None, :].astype(x.dtype)
 
         # clean image encoder branch (others_arch.py:476-479, 493-500)
-        clean_emb = Conv(dim, 7, dtype=self.dtype, name="cond_init_conv")(clean_img)
+        clean_f = fold_width(clean_img, F) if F > 1 else clean_img
+        clean_emb = Conv(dim, 7, dtype=self.dtype, fold=F, name="cond_init_conv")(
+            clean_f
+        )
         clean_emb = ResnetBlock(
-            dim, groups=self.resnet_block_groups, dtype=self.dtype,
+            dim, groups=self.resnet_block_groups, dtype=self.dtype, fold=F,
             name="cond_res_block1",
         )(clean_emb)
 
         t = TimeMlp(dim, time_dim, dtype=self.dtype, name="time_mlp")(time)
 
-        x = Conv(dim, 7, dtype=self.dtype, name="init_conv")(x)
+        x = fold_width(x, F) if F > 1 else x
+        x = Conv(dim, 7, dtype=self.dtype, fold=F, name="init_conv")(x)
         r = x
-        x = Conv(dim, 3, dtype=self.dtype, name="cond_concat_conv")(
-            jnp.concatenate([x, clean_emb], axis=-1)
+        x = Conv(dim, 3, dtype=self.dtype, fold=F, name="cond_concat_conv")(
+            (x, clean_emb)
         )
 
         if self.use_position:
             x = ResnetBlock2(
                 dim, pos_emb_dim=self.pos_dim, groups=2, dtype=self.dtype,
-                name="pos_block1",
+                fold=F, name="pos_block1",
             )(x, pos_emb)
         else:
             # NoPosition variant: plain ResnetBlock, groups=2 (others_arch.py:644-646)
-            x = ResnetBlock(dim, groups=2, dtype=self.dtype, name="pos_block1")(x)
+            x = ResnetBlock(dim, groups=2, dtype=self.dtype, fold=F,
+                            name="pos_block1")(x)
 
         skips = []
+        skip_folds = []
         for ind, (dim_in, dim_out) in enumerate(in_out):
             is_last = ind >= num_stages - 1
+            f_in, f_out = stage_fold[ind], stage_fold[ind + 1]
             x = ResnetBlock(
                 dim_in, time_emb_dim=time_dim, groups=self.resnet_block_groups,
-                dtype=self.dtype, name=f"downs_{ind}_block1",
+                dtype=self.dtype, fold=f_in, name=f"downs_{ind}_block1",
             )(x, t)
             skips.append(x)
+            skip_folds.append(f_in)
             x = ResnetBlock(
                 dim_in, time_emb_dim=time_dim, groups=self.resnet_block_groups,
-                dtype=self.dtype, name=f"downs_{ind}_block2",
+                dtype=self.dtype, fold=f_in, name=f"downs_{ind}_block2",
             )(x, t)
             skips.append(x)
+            skip_folds.append(f_in)
             if self.use_iso_attn:
-                x = AttnBlock(4, 32, dtype=self.dtype, name=f"downs_{ind}_attn")(
-                    x, iso_emb
-                )
+                x = AttnBlock(4, 32, dtype=self.dtype, fold=f_in,
+                              name=f"downs_{ind}_attn")(x, iso_emb)
             if not is_last:
-                x = Downsample(dim_out, dtype=self.dtype, name=f"downs_{ind}_down")(x)
+                x = Downsample(dim_out, dtype=self.dtype, fold_in=f_in,
+                               fold_out=f_out, name=f"downs_{ind}_down")(x)
             else:
-                x = Conv(dim_out, 3, dtype=self.dtype, name=f"downs_{ind}_down")(x)
+                x = Conv(dim_out, 3, dtype=self.dtype, fold=f_in,
+                         name=f"downs_{ind}_down")(x)
+                if f_in > 1 and f_out == 1:
+                    x = unfold_width(x, f_in)
 
         mid_dim = dims[-1]
         x = ResnetBlock(
@@ -145,39 +171,59 @@ class PosEmbUNet(nn.Module):
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
             is_last = ind == num_stages - 1
-            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            stage = num_stages - 1 - ind
+            f_out = stage_fold[stage + 1]
+            f_in = stage_fold[stage]
+            skip = skips.pop()
+            sf = skip_folds.pop()
+            if f_out == 1 and sf > 1:
+                skip = unfold_width(skip, sf)
             x = ResnetBlock(
                 dim_out, time_emb_dim=time_dim, groups=self.resnet_block_groups,
-                dtype=self.dtype, name=f"ups_{ind}_block1",
-            )(x, t)
-            x = jnp.concatenate([x, skips.pop()], axis=-1)
+                dtype=self.dtype, fold=f_out, name=f"ups_{ind}_block1",
+            )((x, skip), t)
+            skip = skips.pop()
+            sf = skip_folds.pop()
+            if f_out == 1 and sf > 1:
+                skip = unfold_width(skip, sf)
             x = ResnetBlock(
                 dim_out, time_emb_dim=time_dim, groups=self.resnet_block_groups,
-                dtype=self.dtype, name=f"ups_{ind}_block2",
-            )(x, t)
+                dtype=self.dtype, fold=f_out, name=f"ups_{ind}_block2",
+            )((x, skip), t)
             if self.use_iso_attn:
-                x = AttnBlock(4, 32, dtype=self.dtype, name=f"ups_{ind}_attn")(
-                    x, iso_emb
-                )
+                x = AttnBlock(4, 32, dtype=self.dtype, fold=f_out,
+                              name=f"ups_{ind}_attn")(x, iso_emb)
             if not is_last:
-                x = Upsample(dim_in, dtype=self.dtype, name=f"ups_{ind}_up")(x)
+                if f_out > 1 and f_in > 1:
+                    x = unfold_width(x, f_out)
+                    x = Upsample(dim_in, dtype=self.dtype, fold_out=f_in,
+                                 name=f"ups_{ind}_up")(x)
+                elif f_in > 1:
+                    x = Upsample(dim_in, dtype=self.dtype, fold_out=f_in,
+                                 name=f"ups_{ind}_up")(x)
+                else:
+                    x = Upsample(dim_in, dtype=self.dtype, name=f"ups_{ind}_up")(x)
             else:
-                x = Conv(dim_in, 3, dtype=self.dtype, name=f"ups_{ind}_up")(x)
+                x = Conv(dim_in, 3, dtype=self.dtype, fold=f_out,
+                         name=f"ups_{ind}_up")(x)
 
         if self.use_position:
             x = ResnetBlock2(
                 dim, pos_emb_dim=self.pos_dim, groups=2, dtype=self.dtype,
-                name="pos_block2",
+                fold=F, name="pos_block2",
             )(x, pos_emb)
         else:
-            x = ResnetBlock(dim, groups=2, dtype=self.dtype, name="pos_block2")(x)
+            x = ResnetBlock(dim, groups=2, dtype=self.dtype, fold=F,
+                            name="pos_block2")(x)
 
-        x = jnp.concatenate([x, r], axis=-1)
         x = ResnetBlock(
             dim, time_emb_dim=time_dim, groups=self.resnet_block_groups,
-            dtype=self.dtype, name="final_res_block",
-        )(x, t)
-        return Conv(self.channels, 1, dtype=self.dtype, name="final_conv")(x)
+            dtype=self.dtype, fold=F, name="final_res_block",
+        )((x, r), t)
+        y = Conv(self.channels, 1, dtype=self.dtype, fold=F, name="final_conv")(x)
+        if F > 1:
+            y = unfold_width(y, F)
+        return y
 
 
 def UNet_PosEmbV2(dim=48, channels=4, cond_dim=4, dtype=None, **kw):

@@ -1,0 +1,76 @@
+"""Width-fold (lane_fold) correctness: the folded forward must equal the
+unfolded one with the SAME parameters (the transform is pure layout —
+kernel einsums, masked norms, tuple skip-joins; see blocks.fold_width)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from noisediff_tpu.models import LSID, NoiseDiffNet
+from noisediff_tpu.models.blocks import _fold_conv_kernel, fold_width, unfold_width
+
+
+def test_fold_conv_kernel_exact():
+    k = jax.random.PRNGKey(0)
+    conv = lambda x, w: jax.lax.conv_general_dilated(
+        x, w, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    for (kh, kw, cin, cout) in [(3, 3, 5, 7), (7, 7, 4, 6), (1, 1, 6, 9)]:
+        x = jax.random.normal(k, (2, 8, 12, cin))
+        w = jax.random.normal(k, (kh, kw, cin, cout)) * 0.2
+        ref = conv(x, w)
+        out = unfold_width(conv(fold_width(x), _fold_conv_kernel(w, (cin,), 2)))
+        np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_noisediffnet_fold_parity():
+    k = jax.random.PRNGKey(0)
+    b, s = 2, 16
+    x = jax.random.normal(k, (b, s, s, 4))
+    t = jnp.array([3, 7], jnp.int32)
+    cond = {
+        "clean_img": jax.random.uniform(jax.random.fold_in(k, 1), (b, s, s, 4)),
+        "position": jax.random.uniform(jax.random.fold_in(k, 2), (b, s, s, 2)),
+        "iso_ratio_idx": jnp.array([5, 24], jnp.int32),
+    }
+    m0 = NoiseDiffNet(dim=48, lane_fold=False)
+    m1 = NoiseDiffNet(dim=48, lane_fold=True)
+    p0 = jax.jit(m0.init)(k, x, t, cond)["params"]
+    p1 = jax.jit(m1.init)(k, x, t, cond)["params"]
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    assert all(
+        a.shape == b_.shape
+        for a, b_ in zip(jax.tree.leaves(p0), jax.tree.leaves(p1))
+    )
+    o0 = jax.jit(m0.apply)({"params": p0}, x, t, cond)
+    o1 = jax.jit(m1.apply)({"params": p0}, x, t, cond)
+    np.testing.assert_allclose(o1, o0, atol=5e-5)
+
+
+def test_lsid_fold_parity():
+    k = jax.random.PRNGKey(0)
+    x = jax.random.uniform(k, (2, 24, 32, 4))
+    m0 = LSID(lane_fold=False)
+    m1 = LSID(lane_fold=True)
+    p0 = jax.jit(m0.init)(k, x)["params"]
+    p1 = jax.jit(m1.init)(k, x)["params"]
+    assert jax.tree_util.tree_structure(p0) == jax.tree_util.tree_structure(p1)
+    o0 = jax.jit(m0.apply)({"params": p0}, x)
+    o1 = jax.jit(m1.apply)({"params": p0}, x)
+    np.testing.assert_allclose(o1, o0, atol=5e-5)
+
+
+def test_fold_nonsquare_input():
+    # folded path on a non-square (full-frame aspect) input keeps the shape
+    k = jax.random.PRNGKey(0)
+    xb = jax.random.uniform(k, (1, 16, 24, 4))
+    cond = {
+        "clean_img": xb,
+        "position": jnp.zeros((1, 16, 24, 2)),
+        "iso_ratio_idx": jnp.zeros((1,), jnp.int32),
+    }
+    mb = NoiseDiffNet(dim=48, lane_fold=True)
+    pb = jax.jit(mb.init)(k, xb, jnp.zeros((1,), jnp.int32), cond)["params"]
+    out = mb.apply({"params": pb}, xb, jnp.zeros((1,), jnp.int32), cond)
+    assert out.shape == xb.shape
+    assert np.isfinite(np.asarray(out)).all()
