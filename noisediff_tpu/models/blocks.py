@@ -302,24 +302,127 @@ def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
     return x.reshape(b, h * 2, w * 2, c)
 
 
+class _ConvParamBank(nn.Module):
+    """Raw conv parameters at the same tree path as Conv(...)(name=...):
+    <name>/conv/{kernel,bias} — for modules that apply a transformed kernel
+    themselves (phase/strided reformulations) while staying checkpoint- and
+    torch-import-compatible."""
+
+    kernel_size: tuple
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel_size
+        return _RawConvParams(
+            (kh, kw), self.in_features, self.features, name="conv"
+        )()
+
+
+class _RawConvParams(nn.Module):
+    kernel_size: tuple
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel_size
+        fan_in = self.in_features * kh * kw
+        kernel = self.param(
+            "kernel", torch_kernel_init,
+            (kh, kw, self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", partial(torch_bias_init, fan_in=fan_in),
+            (self.features,), jnp.float32,
+        )
+        return kernel, bias
+
+
+def _conv(x, k, strides=(1, 1), padding="SAME"):
+    return jax.lax.conv_general_dilated(
+        x, k, strides, padding, dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+
+
 class Upsample(nn.Module):
     """nearest-x2 upsample + 3x3 conv (Diffusion_arch.py:72-76).
 
-    fold_out > 1: input is an UNfolded tensor; the upsampled tensor is
-    width-folded before the conv and the output stays folded."""
+    fold_out > 1: input is an UNfolded tensor; the output is width-folded.
+
+    Executed as a PHASE DECOMPOSITION rather than materialise-then-conv:
+    conv3x3(nearest2x(x)) touches each source pixel through row/col tap
+    *sums* (out row 2h' uses x rows {h'-1: K0, h': K1+K2}; out row 2h'+1
+    uses {h': K0+K1, h'+1: K2}, same per column), so the whole op is two
+    (kh=2, kw=3) convs on the ORIGINAL-resolution tensor whose kernels
+    pre-combine those sums, followed by a row interleave. This never
+    materialises the 4x-size nearest-upsampled tensor, writes the folded
+    output layout directly (the width interleave is exactly the width-fold),
+    and runs ~3x fewer conv FLOPs (profiled: the materialised folded conv at
+    the 256^2 stage ran at 54 TF/s + a 212us fold-reshape copy).
+    Numerically exact up to fp reassociation of the kernel-tap sums
+    (parity test: tests/test_resample.py). `naive=True` keeps the
+    materialised reference formulation (used by the parity tests)."""
 
     dim_out: int
     dtype: Optional[Dtype] = None
     fold_out: int = 1
+    naive: bool = False
 
     @nn.compact
     def __call__(self, x):
-        y = upsample_nearest_2x(x)
+        if self.naive:
+            y = upsample_nearest_2x(x)
+            if self.fold_out > 1:
+                y = fold_width(y, self.fold_out)
+                return Conv(self.dim_out, 3, dtype=self.dtype,
+                            fold=self.fold_out, name="conv")(y)
+            return Conv(self.dim_out, 3, dtype=self.dtype, name="conv")(y)
+
+        b, h, w, cin = x.shape
+        cout = self.dim_out
+        k, bias = _ConvParamBank((3, 3), cin, cout, name="conv")()
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        # row-combined kernels per output-row phase dh: (2, 3, cin, cout)
+        a0 = jnp.stack([k[0], k[1] + k[2]], axis=0)   # out rows 2h'
+        a1 = jnp.stack([k[0] + k[1], k[2]], axis=0)   # out rows 2h'+1
         if self.fold_out > 1:
-            y = fold_width(y, self.fold_out)
-            return Conv(self.dim_out, 3, dtype=self.dtype, fold=self.fold_out,
-                        name="conv")(y)
-        return Conv(self.dim_out, 3, dtype=self.dtype, name="conv")(y)
+            assert self.fold_out == 2
+            # column-combined per output-slot beta, packed as 2*cout output
+            # channels in folded order [beta*cout + c]; kw=3 keeps both
+            # betas in one conv (the unused tap per beta is zero).
+            def widen(a):
+                z = jnp.zeros_like(a[:, :1])
+                b0 = jnp.concatenate([a[:, :1], a[:, 1:2] + a[:, 2:3], z], 1)
+                b1 = jnp.concatenate([z, a[:, :1] + a[:, 1:2], a[:, 2:3]], 1)
+                return jnp.concatenate([b0, b1], axis=-1)  # (2,3,cin,2cout)
+
+            bias_f = jnp.tile(bias, 2).astype(dtype)
+            ys = []
+            for a, pad_r in ((a0, (1, 0)), (a1, (0, 1))):
+                kk = widen(a).astype(dtype)
+                ys.append(_conv(x, kk, (1, 1), [pad_r, (1, 1)]) + bias_f)
+            y = jnp.stack(ys, axis=2)  # (b, h, 2, w, 2cout)
+            return y.reshape(b, 2 * h, w, 2 * cout)
+
+        # unfolded output: 4 (kh=2, kw=2) phase convs, no zero taps
+        def narrow(a, dw):  # column combine for output-col phase dw
+            if dw == 0:
+                return jnp.stack([a[:, 0], a[:, 1] + a[:, 2]], axis=1)
+            return jnp.stack([a[:, 0] + a[:, 1], a[:, 2]], axis=1)
+
+        bias = bias.astype(dtype)
+        ys = []
+        for a, pad_r in ((a0, (1, 0)), (a1, (0, 1))):
+            for dw, pad_c in ((0, (1, 0)), (1, (0, 1))):
+                kk = narrow(a, dw).astype(dtype)
+                ys.append(_conv(x, kk, (1, 1), [pad_r, pad_c]) + bias)
+        y = jnp.stack(
+            [jnp.stack(ys[:2], axis=3), jnp.stack(ys[2:], axis=3)], axis=2
+        )  # (b, h, dh, w, dw, cout)
+        return y.reshape(b, 2 * h, 2 * w, cout)
 
 
 def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
@@ -338,24 +441,63 @@ def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:
 class Downsample(nn.Module):
     """space-to-depth + 1x1 conv (Diffusion_arch.py:78-82).
 
-    fold_in / fold_out: width-fold state of the input / output tensors; the
-    space-to-depth itself runs unfolded (pure reshapes on either side)."""
+    fold_in / fold_out: width-fold state of the input / output tensors.
+
+    Executed as ONE strided conv instead of materialising the
+    space-to-depth: s2d + 1x1 conv over (c, p1, p2)-ordered channels is
+    exactly a 2x2 stride-2 conv with the rearranged kernel, and on a
+    width-folded input the stride-2 column pairs are the two channel slots
+    of a single folded column, so the conv shrinks to (kh=2, kw=1) —
+    the s2d transpose copy (profiled 259us at the 256^2 stage) never
+    exists. Bit-identical kernel values (a pure reindexing, no arithmetic).
+    `naive=True` keeps the materialised formulation (parity tests)."""
 
     dim_out: int
     dtype: Optional[Dtype] = None
     fold_in: int = 1
     fold_out: int = 1
+    naive: bool = False
 
     @nn.compact
     def __call__(self, x):
-        if self.fold_in > 1:
-            x = unfold_width(x, self.fold_in)
-        y = space_to_depth(x)
-        if self.fold_out > 1:
-            y = fold_width(y, self.fold_out)
-            return Conv(self.dim_out, 1, dtype=self.dtype, fold=self.fold_out,
-                        name="conv")(y)
-        return Conv(self.dim_out, 1, dtype=self.dtype, name="conv")(y)
+        if self.naive or (self.fold_in == 1 and self.fold_out > 1):
+            # (fold_in=1, fold_out=2) is unreachable in the model family;
+            # keep the reference formulation for it rather than a 4-wide
+            # strided kernel nobody exercises.
+            if self.fold_in > 1:
+                x = unfold_width(x, self.fold_in)
+            y = space_to_depth(x)
+            if self.fold_out > 1:
+                y = fold_width(y, self.fold_out)
+                return Conv(self.dim_out, 1, dtype=self.dtype,
+                            fold=self.fold_out, name="conv")(y)
+            return Conv(self.dim_out, 1, dtype=self.dtype, name="conv")(y)
+
+        cf = x.shape[-1]
+        cin = cf // self.fold_in
+        out = self.dim_out
+        k, bias = _ConvParamBank((1, 1), 4 * cin, out, name="conv")()
+        dtype = self.dtype or x.dtype
+        x = x.astype(dtype)
+        # (1,1,4C,O) with input channel index c*4 + p1*2 + p2  ->  (p1,p2,c,o)
+        k2 = k[0, 0].reshape(cin, 2, 2, out).transpose(1, 2, 0, 3)
+        if self.fold_in == 1:
+            y = _conv(x, k2.astype(dtype), (2, 2), "VALID")
+            return y + bias.astype(dtype)
+        assert self.fold_in == 2
+        # folded input: column pair (2w', 2w'+1) = slots of folded col w'
+        k3 = k2.reshape(2, 1, 2 * cin, out)  # [p2*cin + c] slot-major = folded
+        if self.fold_out == 1:
+            y = _conv(x, k3.astype(dtype), (2, 1), "VALID")
+            return y + bias.astype(dtype)
+        assert self.fold_out == 2
+        z = jnp.zeros_like(k3[:, 0])
+        k4 = jnp.stack(
+            [jnp.concatenate([k3[:, 0], z], -1), jnp.concatenate([z, k3[:, 0]], -1)],
+            axis=1,
+        )  # (2, 2, 2cin, 2out): output slot beta_o reads folded col 2w''+beta_o
+        y = _conv(x, k4.astype(dtype), (2, 2), "VALID")
+        return y + jnp.tile(bias, 2).astype(dtype)
 
 
 class RMSNorm(nn.Module):
