@@ -1037,6 +1037,89 @@ class FeedForward(nn.Module):
         return Dense(dim, dtype=self.dtype, fold=self.fold, name="proj_out")(h)
 
 
+class _RawDenseParams(nn.Module):
+    """nn.Dense-compatible raw params ('kernel', 'bias')."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", torch_kernel_init,
+            (self.in_features, self.features), jnp.float32,
+        )
+        bias = self.param(
+            "bias", partial(torch_bias_init, fan_in=self.in_features),
+            (self.features,), jnp.float32,
+        )
+        return kernel, bias
+
+
+class _DenseBank(nn.Module):
+    """Same param path as Dense(...)(name=...): <name>/dense/{kernel,bias}."""
+
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        return _RawDenseParams(self.in_features, self.features, name="dense")()
+
+
+class _FFBank(nn.Module):
+    """FeedForward's params at identical paths, returned raw."""
+
+    dim: int
+    mult: int = 2
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _DenseBank(self.dim, self.dim * self.mult, name="proj_in")()
+        w2, b2 = _DenseBank(self.dim * self.mult, self.dim, name="proj_out")()
+        return w1, b1, w2, b2
+
+
+class _LNBank(nn.Module):
+    """LayerNorm's params ('scale', 'bias') at identical paths, returned raw."""
+
+    c: int
+
+    @nn.compact
+    def __call__(self):
+        s = self.param("scale", jax.nn.initializers.ones, (self.c,), jnp.float32)
+        b = self.param("bias", jax.nn.initializers.zeros, (self.c,), jnp.float32)
+        return s, b
+
+
+class _MlpBank(nn.Module):
+    """Mlp's conv params at identical paths, returned raw."""
+
+    dim: int
+    hidden: int
+    out: int
+
+    @nn.compact
+    def __call__(self):
+        w1, b1 = _ConvParamBank((1, 1), self.dim, self.hidden, name="fc1")()
+        w2, b2 = _ConvParamBank((1, 1), self.hidden, self.out, name="fc2")()
+        return w1, b1, w2, b2
+
+
+def _attn_tail_ok(x) -> bool:
+    """Use the fused Pallas AttnBlock tail: default-on on TPU for maps large
+    enough that the XLA chain is HBM-pass-bound (NOISEDIFF_FUSED_ATTN=0
+    disables; =interpret forces the kernel in interpret mode for tests)."""
+    import os
+
+    flag = os.environ.get("NOISEDIFF_FUSED_ATTN", "")
+    if flag == "0":
+        return False
+    if flag == "interpret":
+        return True
+    return jax.default_backend() == "tpu" and x.shape[1] * x.shape[2] >= 4096
+
+
 class AttnBlock(nn.Module):
     """LN -> cross-attn (+res) -> LN -> FF (+res) -> 1x1 proj, + outer residual (:425-443)."""
 
@@ -1050,6 +1133,36 @@ class AttnBlock(nn.Module):
         b, h, w, cf = x.shape
         c = cf // self.fold
         x_in = x
+        # fused single-pass path (1-token context only): the attention output
+        # is an x-independent per-sample vector, so the whole block is the
+        # channel-local chain proj(FF(LN2(x + tok)) + (x + tok)) + x — one
+        # Pallas kernel, one HBM read + write (ops/pallas/attn_tail.py).
+        # Parameters are created through path-identical banks / 1-pixel
+        # module calls so checkpoints and the torch importer see the exact
+        # same tree; XLA DCEs the 1-pixel compute.
+        if (
+            context is not None and context.shape[1] == 1 and mask is None
+            and _attn_tail_ok(x)
+        ):
+            import os
+
+            from ..ops.pallas.attn_tail import fused_attn_tail
+
+            xs = x[:, :1, :1, :]
+            normed_s = LayerNorm(epsilon=1e-5, dtype=self.dtype, fold=self.fold,
+                                 name="norm1")(xs)
+            tok_map = CrossAttention(self.heads, self.dim_head, dtype=self.dtype,
+                                     fold=self.fold, name="attn")(
+                normed_s, context=context
+            )  # (B, 1, 1, cf): the broadcast token value
+            lns, lnb = _LNBank(c, name="norm2")()
+            w1, b1, w2, b2 = _FFBank(c, name="ff")()
+            wp, bp = _ConvParamBank((1, 1), c, c, name="proj_out")()
+            return fused_attn_tail(
+                x, tok_map.reshape(b, cf), lns, lnb, w1, b1, w2, b2,
+                wp[0, 0], bp, self.fold, 1e-5,
+                os.environ.get("NOISEDIFF_FUSED_ATTN", "") == "interpret",
+            )
         # single-token context (NoiseDiffNet's ISO embedding is (B, 1, 16)):
         # every sub-op acts on the channel axis only, so the whole block runs
         # on the 4-D spatial tensor (optionally width-folded). The

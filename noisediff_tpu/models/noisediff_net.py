@@ -146,12 +146,32 @@ class NoiseDiffNet(nn.Module):
             dim, time_emb_dim=time_dim, groups=2, dtype=self.dtype, fold=F,
             name="shot_time",
         )(shot, t)
-        shot = shot + shot_res
-        shot_noise = Mlp(
-            dim, self.channels, act=_gelu, dtype=self.dtype, fold=F, name="shot_mlp3"
-        )(shot)
-        if F > 1:
-            shot_noise = unfold_width(shot_noise, F)
+        # the dual heads (shot residual add + shot_mlp3 + final_conv + sum)
+        # can fuse into a single DMA-bound Pallas pass
+        # (ops/pallas/dual_head.py). Measured NEUTRAL on the v5e: the
+        # kernel replaces ~790us of pathological 4-8-channel conv emitters
+        # with a ~210us pass, but the savings are returned in relayout
+        # copies and de-fused residual adds at the custom-call boundary
+        # (BENCH_NOTES.md). Kept opt-in via NOISEDIFF_FUSED_HEADS=1
+        # (=interpret for tests); params are path-identical either way.
+        import os
+
+        from .blocks import _attn_tail_ok, _ConvParamBank, _MlpBank
+
+        head_flag = os.environ.get("NOISEDIFF_FUSED_HEADS", "")
+        fuse_heads = head_flag == "interpret" or (
+            head_flag == "1" and _attn_tail_ok(x)
+        )
+        if fuse_heads:
+            shot_noise = None
+        else:
+            shot = shot + shot_res
+            shot_noise = Mlp(
+                dim, self.channels, act=_gelu, dtype=self.dtype, fold=F,
+                name="shot_mlp3",
+            )(shot)
+            if F > 1:
+                shot_noise = unfold_width(shot_noise, F)
 
         # UNet trunk (read-noise branch)
         x = fold_width(x, F) if F > 1 else x
@@ -257,6 +277,20 @@ class NoiseDiffNet(nn.Module):
             dim, time_emb_dim=time_dim, groups=self.resnet_block_groups,
             dtype=self.dtype, fold=F, name="final_res_block",
         )((x, r), t)
+        if fuse_heads:
+            from ..ops.pallas.dual_head import fused_dual_head
+
+            w1, b1, w2, b2 = _MlpBank(dim, dim, self.channels,
+                                      name="shot_mlp3")()
+            wr, br = _ConvParamBank((1, 1), dim, self.channels,
+                                    name="final_conv")()
+            out = fused_dual_head(
+                x, shot, shot_res, w1[0, 0], b1, w2[0, 0], b2, wr[0, 0], br,
+                F, head_flag == "interpret",
+            )
+            if F > 1:
+                out = unfold_width(out, F)
+            return out
         read_noise = Conv(self.channels, 1, dtype=self.dtype, fold=F,
                           name="final_conv")(x)
         if F > 1:
