@@ -1117,7 +1117,13 @@ def _attn_tail_ok(x) -> bool:
         return False
     if flag == "interpret":
         return True
-    return jax.default_backend() == "tpu" and x.shape[1] * x.shape[2] >= 4096
+    # bf16 only: the fp32 reference-faithful mode keeps the pure XLA path
+    # (and Mosaic has no exact-erf GELU lowering for the f32 FeedForward)
+    return (
+        jax.default_backend() == "tpu"
+        and x.dtype == jnp.bfloat16
+        and x.shape[1] * x.shape[2] >= 4096
+    )
 
 
 class AttnBlock(nn.Module):

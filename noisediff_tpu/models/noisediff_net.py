@@ -160,7 +160,7 @@ class NoiseDiffNet(nn.Module):
 
         head_flag = os.environ.get("NOISEDIFF_FUSED_HEADS", "")
         fuse_heads = head_flag == "interpret" or (
-            head_flag == "1" and _attn_tail_ok(x)
+            head_flag == "1" and _attn_tail_ok(shot)
         )
         if fuse_heads:
             shot_noise = None
