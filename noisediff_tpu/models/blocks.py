@@ -1118,9 +1118,14 @@ def _attn_tail_ok(x) -> bool:
     if flag == "interpret":
         return True
     # bf16 only: the fp32 reference-faithful mode keeps the pure XLA path
-    # (and Mosaic has no exact-erf GELU lowering for the f32 FeedForward)
+    # (and Mosaic has no exact-erf GELU lowering for the f32 FeedForward).
+    # Single-chip only: a pallas custom call carries no GSPMD partitioning
+    # rules, so under a sharded jit (fullframe spatial sharding, multi-chip
+    # dp) it would force operand replication; those paths stay pure XLA
+    # until the kernels grow shard_map wrappers.
     return (
         jax.default_backend() == "tpu"
+        and jax.device_count() == 1
         and x.dtype == jnp.bfloat16
         and x.shape[1] * x.shape[2] >= 4096
     )
