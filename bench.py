@@ -223,9 +223,12 @@ def main():
     cond = make_cond(BATCH, PATCH, rng)
     shape = (BATCH, PATCH, PATCH, 4)
 
+    # keep the scan carry in the model's folded layout: the boundary
+    # reshapes cancel against the model's internal fold (gaussian.py)
+    fold_io = model.effective_fold(PATCH)
     sample = jax.jit(
         lambda p, r, c: gd.ddim_sample(
-            p, r, shape, c, sampling_timesteps=DDIM_STEPS
+            p, r, shape, c, sampling_timesteps=DDIM_STEPS, fold_io=fold_io
         ).astype(jnp.float32).mean()
     )
     t_opt = timed_fetch(sample, params, rng, cond)
@@ -236,7 +239,7 @@ def main():
     dpm_steps = int(os.environ.get("BENCH_DPM_STEPS", 25))
     sample_dpm = jax.jit(
         lambda p, r, c: gd.dpm_solver_sample(
-            p, r, shape, c, sampling_timesteps=dpm_steps
+            p, r, shape, c, sampling_timesteps=dpm_steps, fold_io=fold_io
         ).astype(jnp.float32).mean()
     )
     t_dpm = timed_fetch(sample_dpm, params, rng, cond)

@@ -161,9 +161,26 @@ class GaussianDiffusion:
     def model_predictions(
         self, params, x, t, condition: Condition = None,
         clip_x_start: bool = False, rederive_pred_noise: bool = False,
+        io_fold: int = 1,
     ):
-        """(pred_noise, pred_x_start) per reference :331-354."""
-        model_output = self.apply_fn(params, x, t, condition).astype(jnp.float32)
+        """(pred_noise, pred_x_start) per reference :331-354.
+
+        io_fold > 1: x is WIDTH-FOLDED (blocks.fold_width) and the returned
+        tensors stay folded. The model is called on the unfolded view; for a
+        lane-folded model the unfold here cancels structurally against the
+        model's internal fold, so the sampler carry never pays the per-step
+        fold/unfold relayouts (every conversion below is elementwise, so the
+        carry domain is free to choose).
+        """
+        if io_fold > 1:
+            from ..models.blocks import fold_width, unfold_width
+
+            model_output = self.apply_fn(
+                params, unfold_width(x, io_fold), t, condition
+            )
+            model_output = fold_width(model_output, io_fold).astype(jnp.float32)
+        else:
+            model_output = self.apply_fn(params, x, t, condition).astype(jnp.float32)
         clip = (lambda v: jnp.clip(v, -1.0, 1.0)) if clip_x_start else (lambda v: v)
 
         if self.objective == "pred_noise":
@@ -218,29 +235,43 @@ class GaussianDiffusion:
         return self.p_losses(params, rng, img, t, condition)
 
     # -- DDPM ancestral sampler (:366-402) ------------------------------------
+    @staticmethod
+    def _fold_shape(shape, fold):
+        b, h, w, c = shape
+        return (b, h, w // fold, c * fold)
+
     def p_sample_loop(
         self, params, rng, shape, condition: Condition = None,
-        init_noise: Optional[jnp.ndarray] = None,
+        init_noise: Optional[jnp.ndarray] = None, fold_io: int = 1,
     ):
         """Full-T ancestral sampling as a lax.scan. Returns the final sample.
 
         `init_noise` overrides x_T (the reference's preset_mean hook :383-389).
+        `fold_io` > 1 keeps the scan carry width-folded (see
+        model_predictions); the noise draws happen in the folded shape —
+        distributionally identical, the documented stochastic-parity contract.
         """
         s = self.schedule
+        fshape = self._fold_shape(shape, fold_io) if fold_io > 1 else shape
         rng_init, rng_steps = jax.random.split(rng)
-        x = (
-            jax.random.normal(rng_init, shape, self.sample_dtype)
-            if init_noise is None
-            else init_noise.astype(self.sample_dtype)
-        )
+        if init_noise is None:
+            x = jax.random.normal(rng_init, fshape, self.sample_dtype)
+        else:
+            x = init_noise.astype(self.sample_dtype)
+            if fold_io > 1:
+                from ..models.blocks import fold_width
+
+                x = fold_width(x, fold_io)
 
         def step(x, t):
             tb = jnp.full((shape[0],), t, jnp.int32)
-            _, x_start = self.model_predictions(params, x, tb, condition)
+            _, x_start = self.model_predictions(
+                params, x, tb, condition, io_fold=fold_io
+            )
             x_start = jnp.clip(x_start, -1.0, 1.0)  # clip_denoised=True (:370)
             mean, _, log_var = self.q_posterior(x_start, x, tb)
             noise = jax.random.normal(
-                jax.random.fold_in(rng_steps, t), shape, self.sample_dtype
+                jax.random.fold_in(rng_steps, t), fshape, self.sample_dtype
             )
             noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))  # :371
             x = mean + jnp.exp(0.5 * log_var) * noise
@@ -248,12 +279,17 @@ class GaussianDiffusion:
 
         ts = jnp.arange(s.num_timesteps - 1, -1, -1)
         x, _ = jax.lax.scan(step, x, ts)
+        if fold_io > 1:
+            from ..models.blocks import unfold_width
+
+            x = unfold_width(x, fold_io)
         return self.unnormalize(x)
 
     # -- DDIM sampler (:404-444) ----------------------------------------------
     def ddim_sample(
         self, params, rng, shape, condition: Condition = None,
         sampling_timesteps: Optional[int] = None, eta: Optional[float] = None,
+        init_noise: Optional[jnp.ndarray] = None, fold_io: int = 1,
     ):
         total = self.num_timesteps
         steps = sampling_timesteps or self.sampling_timesteps or total
@@ -275,29 +311,42 @@ class GaussianDiffusion:
         )
         c = jnp.sqrt(jnp.maximum(1.0 - alpha_next - sigma ** 2, 0.0))
 
+        fshape = self._fold_shape(shape, fold_io) if fold_io > 1 else shape
         rng_init, rng_steps = jax.random.split(rng)
-        x = jax.random.normal(rng_init, shape, self.sample_dtype)
+        if init_noise is None:
+            x = jax.random.normal(rng_init, fshape, self.sample_dtype)
+        else:
+            x = init_noise.astype(self.sample_dtype)
+            if fold_io > 1:
+                from ..models.blocks import fold_width
+
+                x = fold_width(x, fold_io)
 
         def step(x, inputs):
             i, t, a_next, sig, cc = inputs
             tb = jnp.full((shape[0],), t, jnp.int32)
             pred_noise, x_start = self.model_predictions(
-                params, x, tb, condition, clip_x_start=True, rederive_pred_noise=True
+                params, x, tb, condition, clip_x_start=True,
+                rederive_pred_noise=True, io_fold=fold_io,
             )
             noise = jax.random.normal(
-                jax.random.fold_in(rng_steps, i), shape, self.sample_dtype
+                jax.random.fold_in(rng_steps, i), fshape, self.sample_dtype
             )
             x = x_start * jnp.sqrt(a_next) + cc * pred_noise + sig * noise
             return x.astype(self.sample_dtype), None
 
         idx = jnp.arange(len(time_pairs))
         x, _ = jax.lax.scan(step, x, (idx, t_cur, alpha_next, sigma, c))
+        if fold_io > 1:
+            from ..models.blocks import unfold_width
+
+            x = unfold_width(x, fold_io)
         return self.unnormalize(x)
 
     # -- DPM-Solver++(2M) sampler (framework extension; not in the reference) --
     def dpm_solver_sample(
         self, params, rng, shape, condition: Condition = None,
-        sampling_timesteps: Optional[int] = None,
+        sampling_timesteps: Optional[int] = None, fold_io: int = 1,
     ):
         """Second-order multistep DPM-Solver++ (arXiv:2211.01095) in the
         data-prediction formulation. Deterministic (eta=0). Converges in
@@ -343,15 +392,16 @@ class GaussianDiffusion:
             (t_cur, alpha_next, sigma_next, sigma_cur, phi, r),
         )
 
+        fshape = self._fold_shape(shape, fold_io) if fold_io > 1 else shape
         rng_init, _ = jax.random.split(rng)
-        x = jax.random.normal(rng_init, shape, self.sample_dtype)
+        x = jax.random.normal(rng_init, fshape, self.sample_dtype)
 
         def step(carry, inputs):
             x, x0_prev, first = carry
             i, (t, a_next, s_next, s_cur, ph, rr) = inputs
             tb = jnp.full((shape[0],), t.astype(jnp.int32), jnp.int32)
             _, x0 = self.model_predictions(
-                params, x, tb, condition, clip_x_start=True
+                params, x, tb, condition, clip_x_start=True, io_fold=fold_io
             )
             # 2M update: D = (1 + 1/(2r)) x0 - 1/(2r) x0_prev (first step: Euler)
             coef = 1.0 / (2.0 * jnp.maximum(rr, 1e-6))
@@ -367,6 +417,10 @@ class GaussianDiffusion:
             (x, jnp.zeros_like(x), jnp.ones((), bool)),
             (idx, consts),
         )
+        if fold_io > 1:
+            from ..models.blocks import unfold_width
+
+            x = unfold_width(x, fold_io)
         return self.unnormalize(x)
 
     # -- dispatcher (:446-451) --------------------------------------------------

@@ -69,6 +69,15 @@ class NoiseDiffNet(nn.Module):
     def downsample_factor(self) -> int:
         return 2 ** (len(self.dim_mults) - 1)
 
+    def effective_fold(self, width: int) -> int:
+        """The width-fold this model applies internally for a given input
+        width — samplers pass it as fold_io so the scan carry stays folded
+        and the boundary reshapes cancel (diffusion.gaussian.model_predictions)."""
+        lane_fold = self.lane_fold
+        if lane_fold is None:
+            lane_fold = jax.default_backend() == "tpu"
+        return 2 if (lane_fold and width % 4 == 0 and self.dim < 96) else 1
+
     @nn.compact
     def __call__(self, x, time, condition):
         """x: (B, H, W, 4) noisy sample; time: (B,) int timesteps.
@@ -95,11 +104,7 @@ class NoiseDiffNet(nn.Module):
         # width-fold policy (see lane_fold): fold the stages whose channel
         # width underfills the TPU's 128-lane tiles; needs W % 4 == 0 so
         # both 48-wide stages (full and half resolution) have even width
-        lane_fold = self.lane_fold
-        if lane_fold is None:
-            lane_fold = jax.default_backend() == "tpu"
-        lane_fold = lane_fold and x.shape[2] % 4 == 0 and dim < 96
-        F = 2 if lane_fold else 1
+        F = self.effective_fold(x.shape[2])
         stage_fold = [F if d < 96 else 1 for d in dims]
 
         # positional condition: fourier features of the coord grid -> MLP
@@ -127,10 +132,16 @@ class NoiseDiffNet(nn.Module):
         # timestep condition
         t = TimeMlp(dim, time_dim, dtype=self.dtype, name="time_mlp")(time)
 
-        # shot-noise branch: pixelwise signal-dependent head (:566-604)
-        shot_in = jnp.concatenate([clean_img, x], axis=-1)
+        # shot-noise branch: pixelwise signal-dependent head (:566-604).
+        # The concat(clean, x) input goes in as conv PARTS — x changes every
+        # sampler step, so the concat is not loop-invariant and would
+        # materialise a full-res copy per step; conv(concat(a,b)) ==
+        # conv(a)+conv(b) makes it free (fold-then-slice matches the folded
+        # concat layout exactly, see _ConvParams).
         if F > 1:
-            shot_in = fold_width(shot_in, F)
+            shot_in = (fold_width(clean_img, F), fold_width(x, F))
+        else:
+            shot_in = (clean_img, x)
         shot = Mlp(dim, dim, act=_gelu, dtype=self.dtype, fold=F, name="shot_mlp1")(
             shot_in
         )

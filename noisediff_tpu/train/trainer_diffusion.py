@@ -323,13 +323,23 @@ class Trainer:
             gd = self.diffusion
             shape = (batch_size, self.args.crop_size, self.args.crop_size, 4)
             sampler = getattr(self.args, "sampler", "auto")
+            # keep the scan carry in the model's folded layout when the
+            # model lane-folds (see gaussian.model_predictions io_fold)
+            fold_io = (
+                self.model.effective_fold(self.args.crop_size)
+                if hasattr(self.model, "effective_fold")
+                else 1
+            )
 
             def fn(params, rng, condition):
                 if sampler == "dpm":
-                    return gd.dpm_solver_sample(params, rng, shape, condition)
+                    return gd.dpm_solver_sample(params, rng, shape, condition,
+                                                fold_io=fold_io)
                 if sampler == "ddim" or (sampler == "auto" and gd.is_ddim_sampling):
-                    return gd.ddim_sample(params, rng, shape, condition)
-                return gd.p_sample_loop(params, rng, shape, condition)
+                    return gd.ddim_sample(params, rng, shape, condition,
+                                          fold_io=fold_io)
+                return gd.p_sample_loop(params, rng, shape, condition,
+                                        fold_io=fold_io)
 
             self._sample_fn_cache[batch_size] = jax.jit(fn)
         return self._sample_fn_cache[batch_size]

@@ -1,0 +1,77 @@
+"""fold_io sampler parity: keeping the scan carry width-folded must produce
+the identical result for deterministic samplers when the initial noise is
+pinned (DDIM eta=0 has zero per-step noise coefficient, so only x_T matters).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from noisediff_tpu.diffusion import GaussianDiffusion
+from noisediff_tpu.models import NoiseDiffNet
+from noisediff_tpu.ops.schedules import make_schedule
+
+
+def _setup(s=16, b=1):
+    model = NoiseDiffNet(dim=8, pos_dim=4, lane_fold=True)
+    x = jnp.zeros((b, s, s, 4), jnp.float32)
+    t = jnp.zeros((b,), jnp.int32)
+    cond = {
+        "clean_img": jax.random.uniform(jax.random.PRNGKey(1), (b, s, s, 4)),
+        "position": jax.random.uniform(jax.random.PRNGKey(2), (b, s, s, 2)),
+        "iso_ratio_idx": jnp.zeros((b,), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), x, t, cond)["params"]
+
+    def apply_fn(p, xx, tt, c):
+        return model.apply({"params": p}, xx, tt, c)
+
+    gd = GaussianDiffusion(
+        apply_fn=apply_fn, schedule=make_schedule("sigmoid2", 8),
+        image_size=s, objective="pred_v",
+    )
+    return gd, params, cond, (b, s, s, 4)
+
+
+def test_ddim_fold_io_parity():
+    gd, params, cond, shape = _setup()
+    rng = jax.random.PRNGKey(3)
+    x_t = jax.random.normal(jax.random.PRNGKey(4), shape, jnp.float32)
+    y1 = gd.ddim_sample(params, rng, shape, cond, sampling_timesteps=4,
+                        init_noise=x_t)
+    y2 = gd.ddim_sample(params, rng, shape, cond, sampling_timesteps=4,
+                        init_noise=x_t, fold_io=2)
+    assert y2.shape == shape
+    np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-6)
+
+
+def test_model_predictions_io_fold_parity():
+    from noisediff_tpu.models.blocks import fold_width, unfold_width
+
+    gd, params, cond, shape = _setup()
+    x = jax.random.normal(jax.random.PRNGKey(5), shape, jnp.float32)
+    t = jnp.full((shape[0],), 3, jnp.int32)
+    n1, s1 = gd.model_predictions(params, x, t, cond, clip_x_start=True,
+                                  rederive_pred_noise=True)
+    n2, s2 = gd.model_predictions(params, fold_width(x, 2), t, cond,
+                                  clip_x_start=True, rederive_pred_noise=True,
+                                  io_fold=2)
+    np.testing.assert_allclose(n1, unfold_width(n2, 2), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(s1, unfold_width(s2, 2), rtol=1e-5, atol=1e-6)
+
+
+def test_dpm_fold_io_runs():
+    gd, params, cond, shape = _setup()
+    rng = jax.random.PRNGKey(6)
+    y = gd.dpm_solver_sample(params, rng, shape, cond, sampling_timesteps=4,
+                             fold_io=2)
+    assert y.shape == shape
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_p_sample_loop_fold_io_runs():
+    gd, params, cond, shape = _setup()
+    rng = jax.random.PRNGKey(7)
+    x_t = jax.random.normal(jax.random.PRNGKey(8), shape, jnp.float32)
+    y = gd.p_sample_loop(params, rng, shape, cond, init_noise=x_t, fold_io=2)
+    assert y.shape == shape
+    assert np.isfinite(np.asarray(y)).all()
