@@ -268,6 +268,30 @@ def main():
 
     extras = train_steps_per_sec()
 
+    ## --- denoising-stage full-frame inference (SURVEY §3.4 eval hot path) --
+    try:
+        from noisediff_tpu.models import LSID
+
+        fh, fw = 1424, 2128  # packed SID Sony frame
+        lsid = LSID(dtype=jnp.bfloat16)
+        xf = jax.random.uniform(jax.random.PRNGKey(9), (1, fh, fw, 4))
+        lp = jax.jit(lsid.init)(jax.random.PRNGKey(10), xf)["params"]
+
+        @functools.partial(jax.jit, static_argnums=2)
+        def lsid_chain(p, x, n):
+            def body(c, _):
+                return lsid.apply({"params": p}, c).astype(c.dtype), ()
+            out, _ = jax.lax.scan(body, x, None, length=n)
+            return out.astype(jnp.float32).mean()
+
+        t2 = timed_fetch(lambda: lsid_chain(lp, xf, 2))
+        t8 = timed_fetch(lambda: lsid_chain(lp, xf, 8))
+        ms = (t8 - t2) / 6 * 1e3
+        extras["denoise_fullframe_ms"] = round(ms, 2)
+        extras["denoise_fullframe_frames_per_sec"] = round(1e3 / ms, 2)
+    except Exception as exc:
+        extras["denoise_fullframe_error"] = str(exc)[:200]
+
     print(
         json.dumps(
             {
