@@ -148,11 +148,14 @@ def train_steps_per_sec():
         dt_2 = time.perf_counter() - t0
         return (n - 2) / max(dt_n - dt_2, 1e-9)
 
-    ## stage 1: NoiseDiffNet dim=48, crop 512, bs 4, bf16 + remat
-    ## (reference envelope: script.sh:4, trainer at fp32 without remat)
+    ## stage 1: NoiseDiffNet dim=48, crop 512, bs 4, bf16
+    ## (reference envelope: script.sh:4). No remat: with the folded layouts
+    ## and fused attn the crop-512 bs-4 activations fit HBM, and remat=False
+    ## measured 35% faster (398 vs 538 ms/step); --remat stays available for
+    ## larger crops/batches.
     try:
         s, b = 512, 4
-        model = NoiseDiffNet(dim=48, dtype=jnp.bfloat16, remat=True)
+        model = NoiseDiffNet(dim=48, dtype=jnp.bfloat16, remat=False)
         x = jnp.zeros((b, s, s, 4), jnp.float32)
         t = jnp.zeros((b,), jnp.int32)
         cond = make_cond(b, s, rng)
