@@ -251,8 +251,16 @@ def main():
     eval_ms_bf16 = unet_eval_ms(apply_fn, params, BATCH, PATCH, "bf16")
     _, apply32, params32 = build(48, PATCH, None)
     eval_ms_fp32 = unet_eval_ms(apply32, params32, BATCH, PATCH, "fp32", n1=2, n2=8)
-    flops = model_flops(apply32, params32, BATCH, PATCH)  # unfolded = useful
+    # useful FLOPs MUST come from an UNFOLDED lowering: the lane-folded graph
+    # executes dense kernels with structural zeros (folded 3x3 convs cost 2x),
+    # so cost_analysis on the folded graph would overstate "useful" ~1.7x
+    _, apply_unf, params_unf = build(48, PATCH, None, lane_fold=False)
+    flops = model_flops(apply_unf, params_unf, BATCH, PATCH)
+    flops_hw = model_flops(apply32, params32, BATCH, PATCH)  # executed (folded)
     mfu = (flops / (eval_ms_bf16 / 1e3)) / TPU_V5E_BF16_PEAK if flops else None
+    mfu_hw = (
+        (flops_hw / (eval_ms_bf16 / 1e3)) / TPU_V5E_BF16_PEAK if flops_hw else None
+    )
 
     ## --- baseline: fp32, reference-shipped config (DDPM T=1000, bs=4) ------
     gd32 = GaussianDiffusion(
@@ -311,7 +319,8 @@ def main():
                 "unet_eval_ms_fp32": round(eval_ms_fp32, 2),
                 "per_step_speedup": round(eval_ms_fp32 / eval_ms_bf16, 2),
                 "mfu": round(mfu, 4) if mfu is not None else None,
-                "mfu_note": "useful (unfolded) fwd FLOPs / measured bf16 eval time / 197 TFLOP/s v5e peak",
+                "mfu_hw": round(mfu_hw, 4) if mfu_hw is not None else None,
+                "mfu_note": "mfu = useful (unfolded-lowering) fwd FLOPs / measured bf16 eval time / 197 TFLOP/s v5e peak; mfu_hw counts the executed folded-graph FLOPs (incl. the fold's structural-zero padding)",
                 **extras,
                 "device": str(dev),
             }

@@ -855,7 +855,23 @@ class ResnetBlock(nn.Module):
             x = Conv(self.dim_out, 1, dtype=self.dtype, fold=self.fold,
                      name="res_conv")(x)
         elif isinstance(x, (list, tuple)):
-            x = jnp.concatenate(x, axis=-1)  # identity residual on a concat
+            # identity residual on a concat input. Folded parts must be
+            # interleaved per fold slot: a plain channel concat would give
+            # [a0|a1|b0|b1] while the folded layout of concat(a, b) is
+            # [a0|b0|a1|b1] — Block's output (and the folded-concat kernel
+            # slicing) uses the latter, so a plain concat would silently
+            # misalign the residual add. (Reachable whenever a folded stage
+            # has x_ch + skip_ch == dim_out, e.g. small-dim test models.)
+            if self.fold == 1:
+                x = jnp.concatenate(x, axis=-1)
+            else:
+                segs = [
+                    p[..., beta * (p.shape[-1] // self.fold):
+                          (beta + 1) * (p.shape[-1] // self.fold)]
+                    for beta in range(self.fold)
+                    for p in x
+                ]
+                x = jnp.concatenate(segs, axis=-1)
         return h + x
 
 
@@ -873,7 +889,7 @@ class _SplitFilmConv(nn.Module):
     def __call__(self, pos_emb):
         c = self.dim_out
         in_f = pos_emb.shape[-1] // self.fold
-        k, b = _FilmParams(in_f, 2 * c, name="conv")()
+        k, b = _RawConvParams((1, 1), in_f, 2 * c, name="conv")()
         dtype = self.dtype or pos_emb.dtype
         outs = []
         for half in range(2):  # 0 = scale, 1 = shift
@@ -886,25 +902,6 @@ class _SplitFilmConv(nn.Module):
             ) + jnp.tile(bs, self.fold).astype(dtype)
             outs.append(y)
         return tuple(outs)
-
-
-class _FilmParams(nn.Module):
-    """Raw (1,1,in,out) conv params with nn.Conv-compatible names."""
-
-    in_features: int
-    features: int
-
-    @nn.compact
-    def __call__(self):
-        kernel = self.param(
-            "kernel", torch_kernel_init,
-            (1, 1, self.in_features, self.features), jnp.float32,
-        )
-        bias = self.param(
-            "bias", partial(torch_bias_init, fan_in=self.in_features),
-            (self.features,), jnp.float32,
-        )
-        return kernel, bias
 
 
 class ResnetBlock2(nn.Module):
@@ -1106,6 +1103,24 @@ class _MlpBank(nn.Module):
         return w1, b1, w2, b2
 
 
+def _fused_kernel_ok(x) -> bool:
+    """Backend/dtype/size eligibility shared by the fused Pallas kernels.
+
+    bf16 only: the fp32 reference-faithful mode keeps the pure XLA path
+    (and Mosaic has no exact-erf GELU lowering for the f32 FeedForward).
+    Single-chip only: a pallas custom call carries no GSPMD partitioning
+    rules, so under a sharded jit (fullframe spatial sharding, multi-chip
+    dp) it would force operand replication; those paths stay pure XLA
+    until the kernels grow shard_map wrappers. Size floor: small maps are
+    not HBM-pass-bound, so the fusion has nothing to win."""
+    return (
+        jax.default_backend() == "tpu"
+        and jax.device_count() == 1
+        and x.dtype == jnp.bfloat16
+        and x.shape[1] * x.shape[2] >= 4096
+    )
+
+
 def _attn_tail_ok(x) -> bool:
     """Use the fused Pallas AttnBlock tail: default-on on TPU for maps large
     enough that the XLA chain is HBM-pass-bound (NOISEDIFF_FUSED_ATTN=0
@@ -1117,18 +1132,7 @@ def _attn_tail_ok(x) -> bool:
         return False
     if flag == "interpret":
         return True
-    # bf16 only: the fp32 reference-faithful mode keeps the pure XLA path
-    # (and Mosaic has no exact-erf GELU lowering for the f32 FeedForward).
-    # Single-chip only: a pallas custom call carries no GSPMD partitioning
-    # rules, so under a sharded jit (fullframe spatial sharding, multi-chip
-    # dp) it would force operand replication; those paths stay pure XLA
-    # until the kernels grow shard_map wrappers.
-    return (
-        jax.default_backend() == "tpu"
-        and jax.device_count() == 1
-        and x.dtype == jnp.bfloat16
-        and x.shape[1] * x.shape[2] >= 4096
-    )
+    return _fused_kernel_ok(x)
 
 
 class AttnBlock(nn.Module):

@@ -167,11 +167,11 @@ class NoiseDiffNet(nn.Module):
         # (=interpret for tests); params are path-identical either way.
         import os
 
-        from .blocks import _attn_tail_ok, _ConvParamBank, _MlpBank
+        from .blocks import _ConvParamBank, _fused_kernel_ok, _MlpBank
 
         head_flag = os.environ.get("NOISEDIFF_FUSED_HEADS", "")
         fuse_heads = head_flag == "interpret" or (
-            head_flag == "1" and _attn_tail_ok(shot)
+            head_flag == "1" and _fused_kernel_ok(shot)
         )
         if fuse_heads:
             shot_noise = None
@@ -226,13 +226,16 @@ class NoiseDiffNet(nn.Module):
                     x = unfold_width(x, f_in)
 
         mid_dim = dims[-1]
+        # the deepest stage may still be folded when every dim is < 96
+        # (small test models); production dim=48 reaches here unfolded
+        mid_fold = stage_fold[-1]
         x = Res(
             mid_dim, time_emb_dim=time_dim, groups=self.resnet_block_groups,
-            dtype=self.dtype, name="mid_block1",
+            dtype=self.dtype, fold=mid_fold, name="mid_block1",
         )(x, t)
         x = Res(
             mid_dim, time_emb_dim=time_dim, groups=self.resnet_block_groups,
-            dtype=self.dtype, name="mid_block2",
+            dtype=self.dtype, fold=mid_fold, name="mid_block2",
         )(x, t)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):

@@ -128,19 +128,28 @@ def tensor2img(arr: np.ndarray, out_type=np.uint8, min_max=(0.0, 1.0)) -> np.nda
     """CHW (or BCHW grid / HW) array -> HWC image like the reference's
     tensor2img (utils/calculate_PSNR_SSIM.py:13-35): clamp to min_max,
     rescale to [0,1], RGB->BGR channel flip, optional uint8 rounding.
-    4-D inputs are tiled into a square grid (torchvision make_grid, pad 0)."""
+    4-D inputs are tiled like torchvision make_grid(nrow=int(sqrt(n))):
+    nrow images per row, 2-pixel zero borders around every cell (the
+    reference calls make_grid with its defaults, :25)."""
     x = np.asarray(arr, np.float32)
     x = np.squeeze(x)
     x = np.clip(x, *min_max)
     x = (x - min_max[0]) / (min_max[1] - min_max[0])
-    if x.ndim == 4:  # (B, C, H, W) -> square grid
+    if x.ndim == 4:  # (B, C, H, W) -> make_grid
         n, c, h, w = x.shape
-        nrow = int(np.sqrt(n))
-        ncol = int(np.ceil(n / nrow))
-        grid = np.zeros((c, h * ncol, w * nrow), np.float32)
+        pad = 2
+        xmaps = max(min(int(np.sqrt(n)), n), 1)  # images per row
+        ymaps = int(np.ceil(n / xmaps))
+        grid = np.zeros(
+            (c, ymaps * (h + pad) + pad, xmaps * (w + pad) + pad), np.float32
+        )
         for i in range(n):
-            r, col = divmod(i, nrow)
-            grid[:, r * h : (r + 1) * h, col * w : (col + 1) * w] = x[i]
+            r, col = divmod(i, xmaps)
+            grid[
+                :,
+                pad + r * (h + pad) : pad + r * (h + pad) + h,
+                pad + col * (w + pad) : pad + col * (w + pad) + w,
+            ] = x[i]
         x = grid
     if x.ndim == 3:
         x = np.transpose(x[[2, 1, 0], :, :], (1, 2, 0))  # CHW RGB -> HWC BGR

@@ -75,6 +75,23 @@ def component_exists(path: str) -> bool:
     return os.path.isdir(path) or os.path.exists(path + ".npz")
 
 
+def load_opt_component(path: str, opt_state_like, step_like):
+    """Restore an 'optimizer_G' snapshot in either layout.
+
+    Current payload: {'opt_state': ..., 'step': ...}. Legacy (round-1)
+    snapshots saved the bare opt_state tree — a strict restore against the
+    new target raises on the structure mismatch, which would turn
+    '--resume auto' against a pre-existing run dir into a crash (the exact
+    flow it exists to serve). Returns (opt_state, step-or-None)."""
+    try:
+        restored = load_component(
+            path, like={"opt_state": opt_state_like, "step": step_like}
+        )
+        return restored["opt_state"], restored["step"]
+    except Exception:
+        return load_component(path, like=opt_state_like), None
+
+
 def latest_epoch(snapshot_dir: str, name: str = "net") -> Optional[str]:
     """Newest '{name}_{epoch}' snapshot tag ('final' outranks any number)."""
     if not os.path.isdir(snapshot_dir):

@@ -133,15 +133,17 @@ class Trainer:
             if tag is not None:
                 opt_path = os.path.join(snap, f"optimizer_G_{tag}")
                 if ckpt.component_exists(opt_path):
-                    restored = ckpt.load_component(
-                        opt_path, like=self._opt_component()
+                    self._apply_opt_component(
+                        ckpt.load_opt_component(
+                            opt_path, self.state.opt_state, self.state.step
+                        )
                     )
-                    self._apply_opt_component(restored)
             if getattr(args, "resume_optim", ""):
-                restored = ckpt.load_component(
-                    args.resume_optim, like=self._opt_component()
+                self._apply_opt_component(
+                    ckpt.load_opt_component(
+                        args.resume_optim, self.state.opt_state, self.state.step
+                    )
                 )
-                self._apply_opt_component(restored)
 
     def _init_params(self, args):
         rng = jax.random.fold_in(self.rng, 123)
@@ -275,9 +277,11 @@ class Trainer:
         return {"opt_state": self.state.opt_state, "step": self.state.step}
 
     def _apply_opt_component(self, restored):
+        opt_state, step = restored
         put = lambda t: jax.device_put(t, replicated(self.mesh))
         self.state = self.state.replace(
-            opt_state=put(restored["opt_state"]), step=put(restored["step"])
+            opt_state=put(opt_state),
+            step=self.state.step if step is None else put(step),
         )
 
     def load_networks(self, net_name: str, resume: str, strict: bool = True):

@@ -166,10 +166,7 @@ class Trainer:
             )
             self._restore_train_state()
             if getattr(args, "resume_optim", ""):
-                restored = ckpt.load_component(
-                    args.resume_optim, like=self._opt_component()
-                )
-                self._apply_opt_component(restored)
+                self._apply_opt_component(self._load_opt(args.resume_optim))
 
         self._sample_fn_cache = {}
 
@@ -186,6 +183,21 @@ class Trainer:
             payload["ema_step"] = self.state.ema.step
         return payload
 
+    def _load_opt(self, path):
+        """Tolerant optimizer-snapshot restore: current {'opt_state','step'
+        [,'ema_step']} payload, or a legacy bare opt_state tree (round-1
+        save_networks) — a strict restore would crash the resume flow."""
+        try:
+            return ckpt.load_component(path, like=self._opt_component())
+        except Exception:
+            opt_state, step = ckpt.load_opt_component(
+                path, self.state.opt_state, self.state.step
+            )
+            out = {"opt_state": opt_state}
+            if step is not None:
+                out["step"] = step
+            return out
+
     def _apply_opt_component(self, restored):
         put = lambda t: jax.device_put(t, replicated(self.mesh))
         ema = self.state.ema
@@ -193,7 +205,9 @@ class Trainer:
             ema = ema.replace(step=put(restored["ema_step"]))
         self.state = self.state.replace(
             opt_state=put(restored["opt_state"]),
-            step=put(restored["step"]),
+            step=(
+                put(restored["step"]) if "step" in restored else self.state.step
+            ),
             ema=ema,
         )
 
@@ -214,8 +228,7 @@ class Trainer:
             )
         opt_path = os.path.join(snap, f"optimizer_G_{tag}")
         if ckpt.component_exists(opt_path):
-            restored = ckpt.load_component(opt_path, like=self._opt_component())
-            self._apply_opt_component(restored)
+            self._apply_opt_component(self._load_opt(opt_path))
             if self.rank <= 0:
                 logging.info(
                     "auto-resumed ema/optimizer state from %s (step %d)",

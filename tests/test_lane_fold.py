@@ -74,3 +74,24 @@ def test_fold_nonsquare_input():
     out = mb.apply({"params": pb}, xb, jnp.zeros((1,), jnp.int32), cond)
     assert out.shape == xb.shape
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_noisediffnet_fold_parity_small_dim():
+    """dim=8 reaches the identity-residual-on-concat branch in a FOLDED
+    up stage (x_ch + skip_ch == dim_out at a dim_out < 96 stage) — the
+    folded concat must interleave per fold slot, not append (regression:
+    a plain concat silently misaligned the residual channels)."""
+    b, s = 1, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, s, s, 4))
+    t = jnp.array([5])
+    cond = {
+        "clean_img": jax.random.uniform(jax.random.PRNGKey(1), (b, s, s, 4)),
+        "position": jax.random.uniform(jax.random.PRNGKey(2), (b, s, s, 2)),
+        "iso_ratio_idx": jnp.array([3]),
+    }
+    m0 = NoiseDiffNet(dim=8, pos_dim=4, lane_fold=False)
+    m1 = NoiseDiffNet(dim=8, pos_dim=4, lane_fold=True)
+    params = m0.init(jax.random.PRNGKey(3), x, t, cond)["params"]
+    y0 = m0.apply({"params": params}, x, t, cond)
+    y1 = m1.apply({"params": params}, x, t, cond)
+    np.testing.assert_allclose(y0, y1, rtol=2e-5, atol=2e-5)

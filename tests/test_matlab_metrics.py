@@ -135,3 +135,48 @@ def test_denoise_flip_is_height_axis():
     want_w = float(np.mean(np.abs(np.asarray(noisy) * np.asarray(mask) - np.asarray(noisy))))
     assert want_h != pytest.approx(want_w)  # probe must discriminate
     assert got == pytest.approx(want_h, rel=1e-6)
+
+
+def test_tensor2img_grid_matches_torchvision_make_grid():
+    """The 4-D path must reproduce make_grid(nrow=int(sqrt(n))) defaults
+    (2-pixel zero borders), the exact call the reference tensor2img makes."""
+    torchvision = pytest.importorskip("torchvision")
+    import torch
+
+    from noisediff_tpu.ops.metrics import tensor2img
+
+    rng = np.random.default_rng(0)
+    for n in (4, 5, 9):
+        x = rng.random((n, 3, 6, 7)).astype(np.float32)
+        want = torchvision.utils.make_grid(
+            torch.from_numpy(x), nrow=int(np.sqrt(n)), normalize=False
+        ).numpy()
+        want = np.transpose(want[[2, 1, 0]], (1, 2, 0))  # reference BGR flip
+        got = tensor2img(x, out_type=np.float32)
+        assert got.shape == want.shape
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-6)
+
+
+def test_tensor2img_grid_structure():
+    """Without torchvision: verify the documented make_grid geometry —
+    nrow=int(sqrt(n)) images per row, 2-px zero borders, cells intact."""
+    from noisediff_tpu.ops.metrics import tensor2img
+
+    rng = np.random.default_rng(1)
+    n, c, h, w = 5, 3, 4, 6
+    x = rng.random((n, c, h, w)).astype(np.float32)
+    got = tensor2img(x, out_type=np.float32)
+    xmaps = int(np.sqrt(n))  # 2 per row -> 3 rows
+    ymaps = int(np.ceil(n / xmaps))
+    assert got.shape == (ymaps * (h + 2) + 2, xmaps * (w + 2) + 2, c)
+    assert np.all(got[:2] == 0) and np.all(got[:, :2] == 0)
+    for i in range(n):
+        r, col = divmod(i, xmaps)
+        cell = got[2 + r * (h + 2): 2 + r * (h + 2) + h,
+                   2 + col * (w + 2): 2 + col * (w + 2) + w, :]
+        np.testing.assert_allclose(cell, np.transpose(x[i][[2, 1, 0]], (1, 2, 0)))
+    # the empty 6th cell stays zero
+    r, col = divmod(5, xmaps)
+    empty = got[2 + r * (h + 2): 2 + r * (h + 2) + h,
+                2 + col * (w + 2): 2 + col * (w + 2) + w, :]
+    assert np.all(empty == 0)

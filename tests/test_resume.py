@@ -137,3 +137,35 @@ def test_auto_resume_reproduces_uninterrupted_run(sid_tree):
         a = ckpt.load_component(str(snap_a / comp))
         b = ckpt.load_component(str(snap_b / comp))
         _assert_tree_close(a, b, comp, atol=5e-3)
+
+
+def test_legacy_bare_opt_state_resume(tmp_path):
+    """Round-1 snapshots saved optimizer_G as a bare opt_state tree; the
+    tolerant loader must restore them instead of crashing '--resume auto'."""
+    import jax.numpy as jnp
+    import optax
+
+    from noisediff_tpu.train import checkpoint as ckpt
+    from noisediff_tpu.train.state import make_optimizer
+
+    opt = make_optimizer()
+    params = {"w": jnp.ones((3,)), "b": jnp.zeros((2,))}
+    opt_state = opt.init(params)
+    # legacy layout: the bare opt_state tree
+    ckpt.save_component(str(tmp_path), "optimizer_G", "7", opt_state)
+    restored, step = ckpt.load_opt_component(
+        str(tmp_path / "optimizer_G_7"), opt_state, jnp.zeros((), jnp.int32)
+    )
+    assert step is None  # legacy snapshots carry no step counter
+    assert jax.tree.structure(restored) == jax.tree.structure(
+        jax.tree.map(np.asarray, opt_state)
+    )
+    # current layout round-trips with the step
+    ckpt.save_component(
+        str(tmp_path), "optimizer_G", "8",
+        {"opt_state": opt_state, "step": jnp.asarray(42, jnp.int32)},
+    )
+    restored, step = ckpt.load_opt_component(
+        str(tmp_path / "optimizer_G_8"), opt_state, jnp.zeros((), jnp.int32)
+    )
+    assert int(step) == 42
