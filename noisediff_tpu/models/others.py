@@ -160,13 +160,16 @@ class PosEmbUNet(nn.Module):
                     x = unfold_width(x, f_in)
 
         mid_dim = dims[-1]
+        # the deepest stage may still be folded when every dim is < 96
+        # (small test models); see NoiseDiffNet mid blocks
+        mid_fold = stage_fold[-1]
         x = ResnetBlock(
             mid_dim, time_emb_dim=time_dim, groups=self.resnet_block_groups,
-            dtype=self.dtype, name="mid_block1",
+            dtype=self.dtype, fold=mid_fold, name="mid_block1",
         )(x, t)
         x = ResnetBlock(
             mid_dim, time_emb_dim=time_dim, groups=self.resnet_block_groups,
-            dtype=self.dtype, name="mid_block2",
+            dtype=self.dtype, fold=mid_fold, name="mid_block2",
         )(x, t)
 
         for ind, (dim_in, dim_out) in enumerate(reversed(in_out)):
