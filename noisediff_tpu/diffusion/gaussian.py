@@ -347,6 +347,7 @@ class GaussianDiffusion:
     def dpm_solver_sample(
         self, params, rng, shape, condition: Condition = None,
         sampling_timesteps: Optional[int] = None, fold_io: int = 1,
+        init_noise: Optional[jnp.ndarray] = None,
     ):
         """Second-order multistep DPM-Solver++ (arXiv:2211.01095) in the
         data-prediction formulation. Deterministic (eta=0). Converges in
@@ -394,7 +395,14 @@ class GaussianDiffusion:
 
         fshape = self._fold_shape(shape, fold_io) if fold_io > 1 else shape
         rng_init, _ = jax.random.split(rng)
-        x = jax.random.normal(rng_init, fshape, self.sample_dtype)
+        if init_noise is None:
+            x = jax.random.normal(rng_init, fshape, self.sample_dtype)
+        else:
+            x = init_noise.astype(self.sample_dtype)
+            if fold_io > 1:
+                from ..models.blocks import fold_width
+
+                x = fold_width(x, fold_io)
 
         def step(carry, inputs):
             x, x0_prev, first = carry

@@ -75,3 +75,16 @@ def test_p_sample_loop_fold_io_runs():
     y = gd.p_sample_loop(params, rng, shape, cond, init_noise=x_t, fold_io=2)
     assert y.shape == shape
     assert np.isfinite(np.asarray(y)).all()
+
+
+def test_dpm_fold_io_parity():
+    """DPM-Solver++ is deterministic given x_T, so folded-carry parity is
+    exact (up to fp reassociation of the boundary reshapes)."""
+    gd, params, cond, shape = _setup()
+    rng = jax.random.PRNGKey(9)
+    x_t = jax.random.normal(jax.random.PRNGKey(10), shape, jnp.float32)
+    y1 = gd.dpm_solver_sample(params, rng, shape, cond, sampling_timesteps=4,
+                              init_noise=x_t)
+    y2 = gd.dpm_solver_sample(params, rng, shape, cond, sampling_timesteps=4,
+                              init_noise=x_t, fold_io=2)
+    np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-6)
