@@ -30,13 +30,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# per-program budget for the resident x/out tiles (bytes); v5e VMEM is large
-# (the 50 MB scan carry measured VMEM-resident) but stay modest for
-# double-buffering across grid steps
 # per-tile element budget (token rows x cf channels): the kernel's live fp32
-# intermediates are ~5 token-row buffers (stats, hidden, output), and the
-# Mosaic scoped-vmem stack limit is 16 MiB — 4096x96 measured fastest of the
-# shapes that fit across all model stages (8192x96 fits; 8192x192 OOMs)
+# intermediates are ~5 token-row buffers (stats, hidden, output) at ~20
+# bytes/element of Mosaic scoped-vmem stack against its 16 MiB limit —
+# 4096x96 measured fastest of the shapes that compile across all model
+# stages (8192x96 compiles standalone but crashes the in-model compile)
 TILE_TOKEN_LIMIT = 4096 * 96
 
 
