@@ -114,3 +114,25 @@ def test_noisediffnet_fused_paths_match(monkeypatch):
         np.testing.assert_array_equal(a, bb)
     y_fused = model.apply({"params": params}, x, t, cond)
     np.testing.assert_allclose(y_fused, y_xla, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_heads_flag_falls_back_off_tpu(monkeypatch):
+    """NOISEDIFF_FUSED_HEADS=1 on a non-TPU backend must take the XLA path
+    (identical output), not invoke Mosaic (review regression guard)."""
+    from noisediff_tpu.models import NoiseDiffNet
+
+    b, s = 1, 16
+    model = NoiseDiffNet(dim=8, pos_dim=4, lane_fold=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, s, s, 4))
+    t = jnp.array([2])
+    cond = {
+        "clean_img": jax.random.uniform(jax.random.PRNGKey(1), (b, s, s, 4)),
+        "position": jax.random.uniform(jax.random.PRNGKey(2), (b, s, s, 2)),
+        "iso_ratio_idx": jnp.array([7]),
+    }
+    monkeypatch.delenv("NOISEDIFF_FUSED_HEADS", raising=False)
+    params = model.init(jax.random.PRNGKey(3), x, t, cond)["params"]
+    y0 = model.apply({"params": params}, x, t, cond)
+    monkeypatch.setenv("NOISEDIFF_FUSED_HEADS", "1")
+    y1 = model.apply({"params": params}, x, t, cond)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
