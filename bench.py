@@ -115,6 +115,90 @@ def model_flops(apply_fn, params, b, s):
         return 0.0
 
 
+def model_grad_flops(apply_fn, params, b, s):
+    """Compiler FLOPs of one fwd+bwd (value_and_grad of a mean-output loss)
+    — the useful-work numerator for training MFU."""
+    x = jnp.zeros((b, s, s, 4), jnp.float32)
+    t = jnp.zeros((b,), jnp.int32)
+    cond = make_cond(b, s, jax.random.PRNGKey(0))
+
+    def fwdbwd(p, xx, tt, c):
+        def loss(pp):
+            return apply_fn(pp, xx, tt, c).astype(jnp.float32).mean()
+        return jax.value_and_grad(loss)(p)
+
+    try:
+        an = jax.jit(fwdbwd).lower(params, x, t, cond).compile().cost_analysis()
+        if isinstance(an, list):
+            an = an[0]
+        return float(an.get("flops", 0.0))
+    except Exception:
+        return 0.0
+
+
+def _trace_device_ms(trace_dir: str) -> float:
+    """Total device-side op time (ms) in the newest trace under trace_dir.
+
+    Reuses the scripts/xprof_summary.py parser; sums complete events on the
+    device lanes only (TPU/XLA op rows, not host python threads), keeping the
+    single busiest device pid to avoid double-counting mirrored lanes."""
+    import collections
+    import importlib.util
+    import re
+
+    spec = importlib.util.spec_from_file_location(
+        "xprof_summary",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "scripts", "xprof_summary.py"),
+    )
+    xs = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(xs)
+    events, names = xs.load_events(xs.newest_trace(trace_dir))
+    dev_pids = {
+        p for p, n in names.items()
+        if re.search(r"TPU|/device|XLA Op|Axon", n, re.I)
+    }
+    if not dev_pids:
+        dev_pids = {p for p, n in names.items() if "python" not in n.lower()}
+    per_pid = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and e.get("pid") in dev_pids:
+            per_pid[e["pid"]] += float(e.get("dur", 0.0))
+    return max(per_pid.values()) / 1e3 if per_pid else 0.0
+
+
+def xprof_eval_ms(apply_fn, params, b, s, n1=2, n2=12):
+    """Per-UNet-eval ms from profiler device-time totals (scan-length delta).
+
+    Independent cross-check of the scan-delta wall-clock methodology: the
+    numbers come from the device trace, not host timing, so they do not
+    depend on the axon block_until_ready workaround (BENCH_NOTES.md)."""
+    import tempfile
+
+    x0 = jax.random.normal(jax.random.PRNGKey(1), (b, s, s, 4), jnp.float32)
+    t = jnp.zeros((b,), jnp.int32)
+    cond = make_cond(b, s, jax.random.PRNGKey(2))
+
+    @functools.partial(jax.jit, static_argnums=4)
+    def run(p, x, tt, c, n):
+        def body(carry, _):
+            y = apply_fn(p, carry, tt, c)
+            return y.astype(carry.dtype), ()
+        out, _ = jax.lax.scan(body, x, None, length=n)
+        return out.astype(jnp.float32).mean()
+
+    float(run(params, x0, t, cond, n1))  # compile both lengths outside traces
+    float(run(params, x0, t, cond, n2))
+    dev_ms = []
+    for n in (n1, n2):
+        d = tempfile.mkdtemp(prefix="bench_xprof_")
+        jax.profiler.start_trace(d)
+        float(run(params, x0, t, cond, n))  # scalar fetch syncs the device
+        jax.profiler.stop_trace()
+        dev_ms.append(_trace_device_ms(d))
+    return (dev_ms[1] - dev_ms[0]) / (n2 - n1)
+
+
 def train_steps_per_sec():
     """Diffusion + denoising jitted train-step throughput (shipped configs)."""
     from noisediff_tpu.train.state import (
@@ -277,7 +361,29 @@ def main():
     per_eval = t_probe / BASELINE_PROBE_STEPS  # one UNet eval per step
     baseline_patches_per_sec = 4.0 / (per_eval * 1000.0)
 
+    # second, independent timing methodology (device trace vs scan-delta
+    # wall clock): both must agree for the headline to be trusted
+    xprof_err = None
+    try:
+        eval_ms_xprof = xprof_eval_ms(apply_fn, params, BATCH, PATCH)
+    except Exception as exc:
+        eval_ms_xprof = None
+        xprof_err = str(exc)[:200]
+
     extras = train_steps_per_sec()
+
+    # training MFU: useful fwd+bwd FLOPs (unfolded lowering, train shape
+    # crop 512 / bs 4) over the measured train-step time
+    try:
+        sps = extras.get("diffusion_train_steps_per_sec")
+        if sps:
+            tf = model_grad_flops(apply_unf, params_unf, 4, 512)
+            if tf:
+                extras["diffusion_train_mfu"] = round(
+                    tf * sps / TPU_V5E_BF16_PEAK, 4
+                )
+    except Exception as exc:
+        extras["diffusion_train_mfu_error"] = str(exc)[:200]
 
     ## --- denoising-stage full-frame inference (SURVEY §3.4 eval hot path) --
     try:
@@ -316,6 +422,13 @@ def main():
                 "dpm_solver_patches_per_sec": round(BATCH / t_dpm, 4),
                 "dpm_solver_steps": dpm_steps,
                 "unet_eval_ms_bf16": round(eval_ms_bf16, 2),
+                "unet_eval_ms_xprof": (
+                    round(eval_ms_xprof, 2) if eval_ms_xprof else xprof_err
+                ),
+                "timing_crosscheck_ratio": (
+                    round(eval_ms_xprof / eval_ms_bf16, 3)
+                    if eval_ms_xprof else None
+                ),
                 "unet_eval_ms_fp32": round(eval_ms_fp32, 2),
                 "per_step_speedup": round(eval_ms_fp32 / eval_ms_bf16, 2),
                 "mfu": round(mfu, 4) if mfu is not None else None,

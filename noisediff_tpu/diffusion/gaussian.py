@@ -238,6 +238,7 @@ class GaussianDiffusion:
     @staticmethod
     def _fold_shape(shape, fold):
         b, h, w, c = shape
+        assert w % fold == 0, f"fold_io={fold} does not divide width {w}"
         return (b, h, w // fold, c * fold)
 
     def p_sample_loop(
@@ -358,7 +359,15 @@ class GaussianDiffusion:
         reference's DDIM path), so any trained checkpoint works unchanged.
         """
         total = self.num_timesteps
-        steps = sampling_timesteps or self.sampling_timesteps or 25
+        steps = sampling_timesteps or self.sampling_timesteps
+        if steps is None:
+            import logging
+
+            steps = 25
+            logging.getLogger("noisediff").warning(
+                "dpm_solver_sample: no step count given (neither "
+                "sampling_timesteps arg nor schedule default); using 25"
+            )
 
         # time grid: same construction as DDIM (reference :409-411), so step
         # counts are comparable; terminal pair handled by lambda(t=-1)=+inf

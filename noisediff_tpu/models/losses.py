@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
@@ -115,15 +116,91 @@ def r1_penalty(real_pred_sum_fn, real_img):
     return (grad ** 2).sum(axis=tuple(range(1, grad.ndim))).mean()
 
 
-def gradient_penalty(disc_sum_fn, real_img, fake_img, rng, weight=None):
-    """WGAN-GP interpolated gradient penalty."""
+def gradient_penalty(disc_sum_fn, real_img, fake_img, rng, weight=None,
+                     channel_axis=-1):
+    """WGAN-GP interpolated gradient penalty (losses.py:377-411).
+
+    The reference norms the gradient over dim 1 only — the channel axis of
+    its NCHW tensors (`gradients.norm(2, dim=1)`), keeping the spatial axes
+    in the `.mean()`. NHWC arrays here norm over `channel_axis` (default
+    last) for the same semantics."""
     alpha = jax.random.uniform(rng, (real_img.shape[0],) + (1,) * (real_img.ndim - 1))
     interp = alpha * real_img + (1 - alpha) * fake_img
     grad = jax.grad(disc_sum_fn)(interp)
     if weight is not None:
         grad = grad * weight
-    norm = jnp.sqrt((grad ** 2).sum(axis=tuple(range(1, grad.ndim))) + 1e-12)
+    norm = jnp.sqrt((grad ** 2).sum(axis=channel_axis) + 1e-12)
     out = ((norm - 1) ** 2).mean()
     if weight is not None:
         out = out / weight.mean()
     return out
+
+
+def g_path_regularize(gen_fn, latents, mean_path_length, rng, decay=0.01):
+    """StyleGAN2 path-length regulariser (reference losses.py:362-374).
+
+    Functional form of the torch original: `gen_fn(latents) -> fake_img`
+    (NHWC) replaces the implicit autograd graph; the Jacobian-vector
+    contraction grad_latents[(fake*noise).sum()] is one vjp call.
+    `latents` is (B, n_latents, latent_dim); reductions match the reference
+    exactly (sum over dim 2, mean over dim 1).
+
+    Returns (path_penalty, mean(path_lengths), new_mean_path_length)."""
+    fake_img, vjp = jax.vjp(gen_fn, latents)
+    h, w = fake_img.shape[1], fake_img.shape[2]  # NHWC spatial dims
+    noise = jax.random.normal(rng, fake_img.shape, fake_img.dtype) / jnp.sqrt(
+        jnp.asarray(h * w, fake_img.dtype)
+    )
+    grad = vjp(noise)[0]
+    path_lengths = jnp.sqrt((grad ** 2).sum(2).mean(1))
+    # NB: the reference does NOT detach path_mean inside the penalty — the
+    # gradient flows through both terms; only the returned stats are detached.
+    path_mean = mean_path_length + decay * (path_lengths.mean() - mean_path_length)
+    path_penalty = ((path_lengths - path_mean) ** 2).mean()
+    return (
+        path_penalty,
+        jax.lax.stop_gradient(path_lengths.mean()),
+        jax.lax.stop_gradient(path_mean),
+    )
+
+
+class VGGStyleDiscriminator160(nn.Module):
+    """VGG-style discriminator, input 160x160 NHWC (reference
+    losses.py:414-492: 5 stride-2 stages 160->5, BatchNorm after every conv
+    except conv0_0, LeakyReLU(0.2), two linears 512*5*5 -> 100 -> 1).
+
+    Structured so torch weights map 1:1: convs are OIHW->HWIO transposes,
+    the flatten before linear1 goes through NCHW order."""
+
+    num_in_ch: int = 4 * 2
+    num_feat: int = 64
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        assert x.shape[1] == 160 and x.shape[2] == 160, (
+            f"Input spatial size must be 160x160, but received {x.shape}."
+        )
+        lrelu = lambda v: nn.leaky_relu(v, negative_slope=0.2)  # noqa: E731
+        norm = lambda name: nn.BatchNorm(  # noqa: E731
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name=name
+        )
+        nf = self.num_feat
+        conv = lambda f, k, s, bias, name: nn.Conv(  # noqa: E731
+            f, (k, k), (s, s), padding=[(1, 1), (1, 1)], use_bias=bias, name=name
+        )
+
+        feat = lrelu(conv(nf, 3, 1, True, "conv0_0")(x))
+        feat = lrelu(norm("bn0_1")(conv(nf, 4, 2, False, "conv0_1")(feat)))  # 80
+        feat = lrelu(norm("bn1_0")(conv(nf * 2, 3, 1, False, "conv1_0")(feat)))
+        feat = lrelu(norm("bn1_1")(conv(nf * 2, 4, 2, False, "conv1_1")(feat)))  # 40
+        feat = lrelu(norm("bn2_0")(conv(nf * 4, 3, 1, False, "conv2_0")(feat)))
+        feat = lrelu(norm("bn2_1")(conv(nf * 4, 4, 2, False, "conv2_1")(feat)))  # 20
+        feat = lrelu(norm("bn3_0")(conv(nf * 8, 3, 1, False, "conv3_0")(feat)))
+        feat = lrelu(norm("bn3_1")(conv(nf * 8, 4, 2, False, "conv3_1")(feat)))  # 10
+        feat = lrelu(norm("bn4_0")(conv(nf * 8, 3, 1, False, "conv4_0")(feat)))
+        feat = lrelu(norm("bn4_1")(conv(nf * 8, 4, 2, False, "conv4_1")(feat)))  # 5
+
+        # torch flattens NCHW: (B, C, 5, 5) -> (B, C*25)
+        feat = jnp.transpose(feat, (0, 3, 1, 2)).reshape(feat.shape[0], -1)
+        feat = lrelu(nn.Dense(100, name="linear1")(feat))
+        return nn.Dense(1, name="linear2")(feat)

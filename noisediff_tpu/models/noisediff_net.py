@@ -304,7 +304,11 @@ class NoiseDiffNet(nn.Module):
             )
             if F > 1:
                 out = unfold_width(out, F)
-            return out
+            # Keep the output dtype contract identical to the XLA path
+            # (shot_noise + read_noise in self.dtype) so the env flag never
+            # changes downstream accumulation precision; the sampler converts
+            # to f32 at the scan edge either way.
+            return out.astype(self.dtype)
         read_noise = Conv(self.channels, 1, dtype=self.dtype, fold=F,
                           name="final_conv")(x)
         if F > 1:

@@ -128,34 +128,42 @@ def tensor2img(arr: np.ndarray, out_type=np.uint8, min_max=(0.0, 1.0)) -> np.nda
     """CHW (or BCHW grid / HW) array -> HWC image like the reference's
     tensor2img (utils/calculate_PSNR_SSIM.py:13-35): clamp to min_max,
     rescale to [0,1], RGB->BGR channel flip, optional uint8 rounding.
-    4-D inputs are tiled like torchvision make_grid(nrow=int(sqrt(n))):
-    nrow images per row, 2-pixel zero borders around every cell (the
-    reference calls make_grid with its defaults, :25)."""
+    4-D inputs are tiled like torchvision make_grid(nrow=int(sqrt(n)),
+    padding=0) — the reference's exact call (:25): nrow images per row,
+    no borders."""
     x = np.asarray(arr, np.float32)
     x = np.squeeze(x)
     x = np.clip(x, *min_max)
     x = (x - min_max[0]) / (min_max[1] - min_max[0])
-    if x.ndim == 4:  # (B, C, H, W) -> make_grid
+    if x.ndim == 4:  # (B, C, H, W) -> make_grid(nrow=int(sqrt(n)), padding=0)
         n, c, h, w = x.shape
-        pad = 2
         xmaps = max(min(int(np.sqrt(n)), n), 1)  # images per row
         ymaps = int(np.ceil(n / xmaps))
-        grid = np.zeros(
-            (c, ymaps * (h + pad) + pad, xmaps * (w + pad) + pad), np.float32
-        )
+        grid = np.zeros((c, ymaps * h, xmaps * w), np.float32)
         for i in range(n):
             r, col = divmod(i, xmaps)
-            grid[
-                :,
-                pad + r * (h + pad) : pad + r * (h + pad) + h,
-                pad + col * (w + pad) : pad + col * (w + pad) + w,
-            ] = x[i]
+            grid[:, r * h : r * h + h, col * w : col * w + w] = x[i]
         x = grid
     if x.ndim == 3:
         x = np.transpose(x[[2, 1, 0], :, :], (1, 2, 0))  # CHW RGB -> HWC BGR
     if out_type == np.uint8:
         x = (x * 255.0).round()
     return x.astype(out_type)
+
+
+def tensor2im(arr, visualize: bool = False, video: bool = False) -> np.ndarray:
+    """BCHW array -> HWC (or BHWC when video=True) float image scaled to
+    [0, 255], like the reference's tensor2im (utils/metric_util.py:9-24):
+    visualize keeps only the first 3 channels; video keeps the batch axis;
+    otherwise image 0 is taken. Values are clipped to [0, 255]."""
+    x = np.asarray(arr, np.float32)
+    if visualize:
+        x = x[:, 0:3, ...]
+    if not video:
+        out = np.transpose(x[0], (1, 2, 0)) * 255.0
+    else:
+        out = np.transpose(x, (0, 2, 3, 1)) * 255.0
+    return np.clip(out, 0, 255)
 
 
 def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:

@@ -75,6 +75,30 @@ def component_exists(path: str) -> bool:
     return os.path.isdir(path) or os.path.exists(path + ".npz")
 
 
+def _saved_opt_layout_is_current(path: str) -> bool:
+    """Probe whether an 'optimizer_G' snapshot uses the current
+    {'opt_state', 'step'} layout (vs the legacy bare opt_state tree),
+    without a full restore — so genuine corruption in either layout
+    surfaces as its real error instead of a misleading legacy retry."""
+    if os.path.isdir(path):  # orbax
+        meta = ocp.StandardCheckpointer().metadata(os.path.abspath(path))
+        # orbax wraps the saved tree structure: StepMetadata.item_metadata
+        # is a TreeMetadata whose .tree is the top-level pytree.
+        tree = getattr(meta, "item_metadata", meta)
+        tree = getattr(tree, "tree", tree)
+        try:
+            keys = set(tree.keys())
+        except AttributeError:
+            return False
+        return keys == {"opt_state", "step"}
+    # npz fallback: keys are jax keystr paths like "['opt_state']..."
+    with np.load(path + ".npz", allow_pickle=True) as data:
+        keys = list(data.keys())
+    return all(k.startswith("['opt_state']") or k == "['step']" for k in keys) and any(
+        k == "['step']" for k in keys
+    )
+
+
 def load_opt_component(path: str, opt_state_like, step_like):
     """Restore an 'optimizer_G' snapshot in either layout.
 
@@ -82,14 +106,15 @@ def load_opt_component(path: str, opt_state_like, step_like):
     snapshots saved the bare opt_state tree — a strict restore against the
     new target raises on the structure mismatch, which would turn
     '--resume auto' against a pre-existing run dir into a crash (the exact
-    flow it exists to serve). Returns (opt_state, step-or-None)."""
-    try:
+    flow it exists to serve). The layout is detected by probing the saved
+    tree structure, not by catching restore errors, so corruption is not
+    masked. Returns (opt_state, step-or-None)."""
+    if _saved_opt_layout_is_current(path):
         restored = load_component(
             path, like={"opt_state": opt_state_like, "step": step_like}
         )
         return restored["opt_state"], restored["step"]
-    except Exception:
-        return load_component(path, like=opt_state_like), None
+    return load_component(path, like=opt_state_like), None
 
 
 def latest_epoch(snapshot_dir: str, name: str = "net") -> Optional[str]:

@@ -138,8 +138,9 @@ def test_denoise_flip_is_height_axis():
 
 
 def test_tensor2img_grid_matches_torchvision_make_grid():
-    """The 4-D path must reproduce make_grid(nrow=int(sqrt(n))) defaults
-    (2-pixel zero borders), the exact call the reference tensor2img makes."""
+    """The 4-D path must reproduce make_grid(nrow=int(sqrt(n)), padding=0),
+    the exact call the reference tensor2img makes
+    (calculate_PSNR_SSIM.py:21)."""
     torchvision = pytest.importorskip("torchvision")
     import torch
 
@@ -149,7 +150,7 @@ def test_tensor2img_grid_matches_torchvision_make_grid():
     for n in (4, 5, 9):
         x = rng.random((n, 3, 6, 7)).astype(np.float32)
         want = torchvision.utils.make_grid(
-            torch.from_numpy(x), nrow=int(np.sqrt(n)), normalize=False
+            torch.from_numpy(x), nrow=int(np.sqrt(n)), padding=0, normalize=False
         ).numpy()
         want = np.transpose(want[[2, 1, 0]], (1, 2, 0))  # reference BGR flip
         got = tensor2img(x, out_type=np.float32)
@@ -159,7 +160,7 @@ def test_tensor2img_grid_matches_torchvision_make_grid():
 
 def test_tensor2img_grid_structure():
     """Without torchvision: verify the documented make_grid geometry —
-    nrow=int(sqrt(n)) images per row, 2-px zero borders, cells intact."""
+    nrow=int(sqrt(n)) images per row, padding=0, cells intact."""
     from noisediff_tpu.ops.metrics import tensor2img
 
     rng = np.random.default_rng(1)
@@ -168,15 +169,12 @@ def test_tensor2img_grid_structure():
     got = tensor2img(x, out_type=np.float32)
     xmaps = int(np.sqrt(n))  # 2 per row -> 3 rows
     ymaps = int(np.ceil(n / xmaps))
-    assert got.shape == (ymaps * (h + 2) + 2, xmaps * (w + 2) + 2, c)
-    assert np.all(got[:2] == 0) and np.all(got[:, :2] == 0)
+    assert got.shape == (ymaps * h, xmaps * w, c)
     for i in range(n):
         r, col = divmod(i, xmaps)
-        cell = got[2 + r * (h + 2): 2 + r * (h + 2) + h,
-                   2 + col * (w + 2): 2 + col * (w + 2) + w, :]
+        cell = got[r * h: r * h + h, col * w: col * w + w, :]
         np.testing.assert_allclose(cell, np.transpose(x[i][[2, 1, 0]], (1, 2, 0)))
     # the empty 6th cell stays zero
     r, col = divmod(5, xmaps)
-    empty = got[2 + r * (h + 2): 2 + r * (h + 2) + h,
-                2 + col * (w + 2): 2 + col * (w + 2) + w, :]
+    empty = got[r * h: r * h + h, col * w: col * w + w, :]
     assert np.all(empty == 0)
