@@ -35,6 +35,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--right_edge", type=float, default=0.1)
     p.add_argument("--max_pairs", type=int, default=10)
     p.add_argument("--max_patches", type=int, default=200)
+    p.add_argument("--out", type=str, default="",
+                   help="also write the result JSON to this path")
     add_path_flags(p)
     return p
 
@@ -75,11 +77,16 @@ def main(argv=None):
     p, _ = get_histogram(real, bin_edges=edges)
     q, _ = get_histogram(synth, bin_edges=edges)
     fwd, inv, sym = kl_div_3(p, q)
-    print(json.dumps({
+    result = {
         "iso": args.iso, "ratio": args.ratio,
         "kld_forward": fwd, "kld_inverse": inv, "kld_symmetric": sym,
         "n_real": int(real.size), "n_synth": int(synth.size),
-    }))
+    }
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    return result
 
 
 if __name__ == "__main__":

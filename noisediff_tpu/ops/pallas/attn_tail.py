@@ -16,9 +16,11 @@ does everything in ONE read + ONE write of x (~190 us at the same shape).
 Width-folded tensors (blocks.fold_width) are handled by pre-folding the
 parameters: LN statistics become a block-diagonal averaging matmul per
 folded slot (exactly the unfolded math), and the FF/proj kernels become
-block-diagonal. Backward = jnp reference under custom_vjp (recompute), so
-the kernel is safe under jax.grad (training takes the XLA path by default;
-see blocks._attn_tail_ok).
+block-diagonal. Backward = a second Pallas kernel (tile-recompute + in-kernel
+vjp, param grads accumulated across the sequential grid) on TPU/bf16 or in
+interpret mode; NOISEDIFF_FUSED_ATTN_BWD=xla falls back to the jnp-reference
+recompute (also the default off-TPU), so the kernel is safe under jax.grad
+everywhere.
 """
 from __future__ import annotations
 
@@ -76,16 +78,9 @@ def reference_attn_tail(x, tok, ln_scale, ln_bias, w1, b1, w2, b2, wp, bp,
     return t2 @ bd(wp).astype(x.dtype) + jnp.tile(bp, fold).astype(x.dtype) + x
 
 
-def _kernel(x_ref, tok_ref, lns_ref, lnb_ref, mavg_ref, w1_ref, b1_ref,
-            w2_ref, b2_ref, wp_ref, bp_ref, o_ref, *, eps):
-    # x block: (R, W, B, cf) — the array is fed (H, W, B, C)-transposed so
-    # its default (descending) custom-call layout is PHYSICALLY the conv
-    # emitters' preferred {3,0,2,1} "batch in sublanes" layout of the
-    # original (B, H, W, C) tensor; the surrounding transposes are then
-    # layout bitcasts instead of a layout pin that de-optimises every
-    # neighbouring convolution (profiled: +4 ms/eval without this).
-    r, w, b, cf = x_ref.shape
-    x = x_ref[...].reshape(r * w * b, cf)
+def _tile_chain(x, tokb, lns, lnb, mavg_f32, w1, b1, w2, b2, wp, bp, eps):
+    """Per-tile forward on VALUES: shared by the forward kernel and the
+    in-kernel vjp of the backward kernel. x/tokb: (m, cf); params folded."""
     dt = x.dtype
     stats_prec = None if dt == jnp.bfloat16 else jax.lax.Precision.HIGHEST
 
@@ -95,24 +90,38 @@ def _kernel(x_ref, tok_ref, lns_ref, lnb_ref, mavg_ref, w1_ref, b1_ref,
             preferred_element_type=jnp.float32, precision=prec,
         )
 
-    tokb = jnp.broadcast_to(tok_ref[...][None], (r * w, b, cf)).reshape(
-        r * w * b, cf
-    )
     tok2 = x + tokb.astype(dt)
-    mavg = mavg_ref[...].astype(dt)
-    mean = dot(tok2, mavg, stats_prec)          # (RW, cf) f32
+    mean = dot(tok2, mavg_f32.astype(dt), stats_prec)   # (m, cf) f32
     d = tok2.astype(jnp.float32) - mean
-    var = dot((d * d).astype(dt), mavg.astype(dt), stats_prec) if dt == jnp.bfloat16 \
-        else dot(d * d, mavg_ref[...], stats_prec)
+    var = dot((d * d).astype(dt), mavg_f32.astype(dt), stats_prec) \
+        if dt == jnp.bfloat16 else dot(d * d, mavg_f32, stats_prec)
     n = d * jax.lax.rsqrt(var + eps)
-    n = (n * lns_ref[0] + lnb_ref[0]).astype(dt)
+    n = (n * lns[0] + lnb[0]).astype(dt)
 
-    h = dot(n, w1_ref[...].astype(dt)).astype(jnp.float32) + b1_ref[0]
+    h = dot(n, w1.astype(dt)).astype(jnp.float32) + b1[0]
     h = _gelu(h.astype(dt))
-    f = dot(h, w2_ref[...].astype(dt)) + b2_ref[0]
+    f = dot(h, w2.astype(dt)) + b2[0]
     t2 = f.astype(dt) + tok2
-    out = dot(t2, wp_ref[...].astype(dt)) + bp_ref[0]
-    o_ref[...] = (out.astype(dt) + x).reshape(r, w, b, cf)
+    out = dot(t2, wp.astype(dt)) + bp[0]
+    return out.astype(dt) + x
+
+
+def _kernel(x_ref, tok_ref, lns_ref, lnb_ref, mavg_ref, w1_ref, b1_ref,
+            w2_ref, b2_ref, wp_ref, bp_ref, o_ref, *, eps):
+    # x block: (R, W, B, cf) — the array is fed (H, W, B, C)-transposed so
+    # its default (descending) custom-call layout is PHYSICALLY the conv
+    # emitters' preferred {3,0,2,1} "batch in sublanes" layout of the
+    # original (B, H, W, C) tensor; the surrounding transposes are then
+    # layout bitcasts instead of a layout pin that de-optimises every
+    # neighbouring convolution (profiled: +4 ms/eval without this).
+    r, w, b, cf = x_ref.shape
+    m = r * w * b
+    x = x_ref[...].reshape(m, cf)
+    tokb = jnp.broadcast_to(tok_ref[...][None], (r * w, b, cf)).reshape(m, cf)
+    o_ref[...] = _tile_chain(
+        x, tokb, lns_ref[...], lnb_ref[...], mavg_ref[...], w1_ref[...],
+        b1_ref[...], w2_ref[...], b2_ref[...], wp_ref[...], bp_ref[...], eps,
+    ).reshape(r, w, b, cf)
 
 
 def _tile_rows(h: int, w: int, cf: int) -> int:
@@ -190,12 +199,208 @@ def _fwd(x, tok, ln_scale, ln_bias, w1, b1, w2, b2, wp, bp, fold, eps,
     return out, (x, tok, ln_scale, ln_bias, w1, b1, w2, b2, wp, bp)
 
 
-def _bwd(fold, eps, interpret, residuals, g):
-    def ref(*args):
-        return reference_attn_tail(*args, fold=fold, eps=eps)
+# --- Pallas backward -------------------------------------------------------
+# The training step pays for this chain 3x per step at full resolution; an
+# XLA recompute backward re-materialises the (H,W,B,C) layout transposes as
+# real copies and re-runs the LN/FF chain as many HBM passes (profiled
+# ~50-70 ms of the 389 ms crop-512 train step). This kernel recomputes the
+# tile forward in VMEM and takes grads via jax.vjp traced INSIDE the kernel
+# body (one read of x and g, one write of g_x; parameter grads accumulate in
+# VMEM across the sequential grid).
 
-    _, vjp = jax.vjp(ref, *residuals)
-    return vjp(g)
+# the backward holds ~3x the forward's live fp32 intermediates
+TILE_TOKEN_LIMIT_BWD = 1024 * 96
+
+
+def _bwd_kernel(x_ref, tok_ref, lns_ref, lnb_ref, mavg_ref, w1_ref, b1_ref,
+                w2_ref, b2_ref, wp_ref, bp_ref, g_ref,
+                gx_ref, gtok_ref, glns_ref, glnb_ref, gw1_ref, gb1_ref,
+                gw2_ref, gb2_ref, gwp_ref, gbp_ref, *, eps):
+    r, w, b, cf = x_ref.shape
+    m = r * w * b
+    x = x_ref[...].reshape(m, cf)
+    g = g_ref[...].reshape(m, cf)
+
+    def f(x, tok, lns, lnb, w1, b1, w2, b2, wp, bp):
+        tokb = jnp.broadcast_to(tok[None], (r * w, b, cf)).reshape(m, cf)
+        return _tile_chain(x, tokb, lns, lnb, mavg_ref[...], w1, b1, w2, b2,
+                           wp, bp, eps)
+
+    out, vjp = jax.vjp(
+        f, x, tok_ref[...], lns_ref[...], lnb_ref[...], w1_ref[...],
+        b1_ref[...], w2_ref[...], b2_ref[...], wp_ref[...], bp_ref[...],
+    )
+    dx, dtok, dlns, dlnb, dw1, db1, dw2, db2, dwp, dbp = vjp(g.astype(out.dtype))
+
+    gx_ref[...] = dx.reshape(r, w, b, cf)
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        for ref in (gtok_ref, glns_ref, glnb_ref, gw1_ref, gb1_ref, gw2_ref,
+                    gb2_ref, gwp_ref, gbp_ref):
+            ref[...] = jnp.zeros_like(ref)
+
+    f32 = lambda v: v.astype(jnp.float32)  # noqa: E731
+    gtok_ref[...] += f32(dtok)
+    glns_ref[...] += f32(dlns)
+    glnb_ref[...] += f32(dlnb)
+    gw1_ref[...] += f32(dw1)
+    gb1_ref[...] += f32(db1)
+    gw2_ref[...] += f32(dw2)
+    gb2_ref[...] += f32(db2)
+    gwp_ref[...] += f32(dwp)
+    gbp_ref[...] += f32(dbp)
+
+
+def _unfold_block_diag(gw, fold):
+    """(fold*i, fold*o) folded-weight grad -> (i, o): sum the diagonal blocks
+    (the fold replicates the kernel block-diagonally, so off-diagonal blocks
+    carry no parameter)."""
+    if fold == 1:
+        return gw
+    fi, fo = gw.shape
+    i, o = fi // fold, fo // fold
+    return jnp.einsum("aiao->io", gw.reshape(fold, i, fold, o))
+
+
+def _unfold_vec(gv, fold):
+    return gv.reshape(fold, -1).sum(0) if fold > 1 else gv.reshape(-1)
+
+
+def _pallas_bwd(x, tok, ln_scale, ln_bias, w1, b1, w2, b2, wp, bp, g, fold,
+                eps, interpret):
+    b_, h, w_, cf = x.shape
+    limit_rows = max(1, TILE_TOKEN_LIMIT_BWD // max(w_ * b_ * cf, 1))
+    r = next((rr for rr in range(min(limit_rows, h), 0, -1) if h % rr == 0), 1)
+    lns, lnb, mavg, w1f, b1f, w2f, b2f, wpf, bpf = _fold_params(
+        ln_scale, ln_bias, w1, b1, w2, b2, wp, bp, fold, cf
+    )
+    hidden = w1f.shape[1]
+    full = lambda shape: pl.BlockSpec(shape, lambda i: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    tile = pl.BlockSpec((r, w_, b_, cf), lambda i: (i, 0, 0, 0),
+                        memory_space=pltpu.VMEM)
+    tp = lambda v: jnp.transpose(v, (1, 2, 0, 3))
+
+    out_shapes = (
+        jax.ShapeDtypeStruct((h, w_, b_, cf), x.dtype),        # g_x
+        jax.ShapeDtypeStruct((b_, cf), jnp.float32),           # g_tok
+        jax.ShapeDtypeStruct((1, cf), jnp.float32),            # g_lns
+        jax.ShapeDtypeStruct((1, cf), jnp.float32),            # g_lnb
+        jax.ShapeDtypeStruct((cf, hidden), jnp.float32),       # g_w1
+        jax.ShapeDtypeStruct((1, hidden), jnp.float32),        # g_b1
+        jax.ShapeDtypeStruct((hidden, cf), jnp.float32),       # g_w2
+        jax.ShapeDtypeStruct((1, cf), jnp.float32),            # g_b2
+        jax.ShapeDtypeStruct((cf, cf), jnp.float32),           # g_wp
+        jax.ShapeDtypeStruct((1, cf), jnp.float32),            # g_bp
+    )
+    outs = pl.pallas_call(
+        functools.partial(_bwd_kernel, eps=eps),
+        grid=(h // r,),
+        in_specs=[
+            tile,                       # x
+            full((b_, cf)),             # tok
+            full((1, cf)), full((1, cf)), full((cf, cf)),
+            full((cf, hidden)), full((1, hidden)),
+            full((hidden, cf)), full((1, cf)),
+            full((cf, cf)), full((1, cf)),
+            tile,                       # g
+        ],
+        out_specs=(
+            tile,
+            full((b_, cf)),
+            full((1, cf)), full((1, cf)),
+            full((cf, hidden)), full((1, hidden)),
+            full((hidden, cf)), full((1, cf)),
+            full((cf, cf)), full((1, cf)),
+        ),
+        out_shape=out_shapes,
+        interpret=interpret,
+    )(
+        tp(x), tok, lns, lnb, mavg, w1f, b1f, w2f, b2f, wpf, bpf,
+        tp(g.astype(x.dtype)),
+    )
+    (gx_t, gtok, glns, glnb, gw1, gb1, gw2, gb2, gwp, gbp) = outs
+    return (
+        jnp.transpose(gx_t, (2, 0, 1, 3)).astype(x.dtype),
+        gtok.astype(tok.dtype),
+        _unfold_vec(glns, fold).astype(ln_scale.dtype),
+        _unfold_vec(glnb, fold).astype(ln_bias.dtype),
+        _unfold_block_diag(gw1, fold).astype(w1.dtype),
+        _unfold_vec(gb1, fold).astype(b1.dtype),
+        _unfold_block_diag(gw2, fold).astype(w2.dtype),
+        _unfold_vec(gb2, fold).astype(b2.dtype),
+        _unfold_block_diag(gwp, fold).astype(wp.dtype),
+        _unfold_vec(gbp, fold).astype(bp.dtype),
+    )
+
+
+def _bwd(fold, eps, interpret, residuals, g):
+    import os
+
+    # Pallas backward is OPT-IN (NOISEDIFF_FUSED_ATTN_BWD=1) on TPU: it is
+    # numerically verified (tests/test_attn_tail.py) and matches the XLA
+    # recompute in isolated microbenchmarks (5.3 vs 5.1 ms/grad at the
+    # crop-512 shape), but embedding it in the full train-step graph crashes
+    # this image's remote tpu_compile_helper (SIGKILL/OOM — the same
+    # in-model Mosaic fragility BENCH_NOTES records for large attn tiles).
+    # Interpret mode always uses it so the kernel stays covered by tests.
+    flag = os.environ.get("NOISEDIFF_FUSED_ATTN_BWD", "")
+    use_pallas = flag != "xla" and (
+        interpret
+        or (
+            flag == "1"
+            and jax.default_backend() == "tpu"
+            and residuals[0].dtype == jnp.bfloat16
+        )
+    )
+    if use_pallas:
+        return _pallas_bwd(*residuals, g, fold, eps, interpret)
+    return _xla_bwd_2d(*residuals, g, fold, eps)
+
+
+def _xla_bwd_2d(x, tok, ln_scale, ln_bias, w1, b1, w2, b2, wp, bp, g, fold,
+                eps):
+    """XLA recompute backward in the (H*W*B, cf) FLATTENED transposed space.
+
+    The naive 4-D recompute (jax.vjp of reference_attn_tail) materialises
+    ~2.5 ms layout-conversion copies per tensor in the train step: the
+    forward custom call pins (H,W,B,C)-transposed physical layouts while the
+    4-D recompute ops prefer batch-major ones. Reshaping the transposed
+    tensor to 2-D is a layout BITCAST, and 2-D (m, C) matmul layouts agree
+    on both sides, so the same math in 2-D drops the copies. The math is
+    _tile_chain — the exact per-tile forward the Pallas kernel runs."""
+    b_, h, w_, cf = x.shape
+    m = h * w_ * b_
+    lns, lnb, mavg, w1f, b1f, w2f, b2f, wpf, bpf = _fold_params(
+        ln_scale, ln_bias, w1, b1, w2, b2, wp, bp, fold, cf
+    )
+    x2 = jnp.transpose(x, (1, 2, 0, 3)).reshape(m, cf)
+    g2 = jnp.transpose(g, (1, 2, 0, 3)).reshape(m, cf)
+
+    def f(x2, tok, lns, lnb, w1f, b1f, w2f, b2f, wpf, bpf):
+        tokb = jnp.broadcast_to(tok[None], (h * w_, b_, cf)).reshape(m, cf)
+        return _tile_chain(x2, tokb, lns, lnb, mavg, w1f, b1f, w2f, b2f,
+                           wpf, bpf, eps)
+
+    out, vjp = jax.vjp(f, x2, tok, lns, lnb, w1f, b1f, w2f, b2f, wpf, bpf)
+    dx2, dtok, dlns, dlnb, dw1, db1, dw2, db2, dwp, dbp = vjp(
+        g2.astype(out.dtype)
+    )
+    dx = jnp.transpose(dx2.reshape(h, w_, b_, cf), (2, 0, 1, 3))
+    return (
+        dx.astype(x.dtype),
+        dtok.astype(tok.dtype),
+        _unfold_vec(dlns, fold).astype(ln_scale.dtype),
+        _unfold_vec(dlnb, fold).astype(ln_bias.dtype),
+        _unfold_block_diag(dw1, fold).astype(w1.dtype),
+        _unfold_vec(db1, fold).astype(b1.dtype),
+        _unfold_block_diag(dw2, fold).astype(w2.dtype),
+        _unfold_vec(db2, fold).astype(b2.dtype),
+        _unfold_block_diag(dwp, fold).astype(wp.dtype),
+        _unfold_vec(dbp, fold).astype(bp.dtype),
+    )
 
 
 fused_attn_tail.defvjp(_fwd, _bwd)

@@ -76,9 +76,18 @@ class Trainer:
         self.model = define_network(args.net_name, args, dtype=self.compute_dtype)
         self.params = self._init_params(args)
 
-        ndev = jax.local_device_count()
-        dp = data_axis_size(args.batch_size, ndev)
-        self.mesh = make_mesh({"data": dp}, devices=jax.devices()[:dp])
+        if getattr(args, "dist", False) and jax.process_count() > 1:
+            gdev = jax.device_count()
+            if args.batch_size % gdev != 0:
+                raise ValueError(
+                    f"distributed run: global batch_size {args.batch_size} "
+                    f"must divide across {gdev} devices"
+                )
+            self.mesh = make_mesh({"data": gdev})
+        else:
+            ndev = jax.local_device_count()
+            dp = data_axis_size(args.batch_size, ndev)
+            self.mesh = make_mesh({"data": dp}, devices=jax.devices()[:dp])
 
         self._auto_resume = ("", None)
         if args.resume == "auto":

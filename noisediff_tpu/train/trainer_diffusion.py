@@ -117,15 +117,27 @@ class Trainer:
             sampling_timesteps=getattr(args, "sampling_timesteps", None),
         )
 
-        ## mesh: 1-D data axis over local devices
-        ndev = jax.local_device_count()
-        dp = data_axis_size(args.batch_size, ndev)
-        self.mesh = make_mesh({"data": dp}, devices=jax.devices()[:dp])
-        if dp < ndev and self.rank <= 0:
-            logging.warning(
-                "batch_size %d not divisible by %d devices; using %d-way data parallel",
-                args.batch_size, ndev, dp,
-            )
+        ## mesh: 1-D data axis. Single process: over local devices. Multi
+        ## process: over ALL global devices — shard_batch assembles each
+        ## process's local loader shard into the global batch (the
+        ## DistIterSampler/DDP decomposition, SURVEY §2.7)
+        if getattr(args, "dist", False) and jax.process_count() > 1:
+            gdev = jax.device_count()
+            if args.batch_size % gdev != 0:
+                raise ValueError(
+                    f"distributed run: global batch_size {args.batch_size} "
+                    f"must divide across {gdev} devices"
+                )
+            self.mesh = make_mesh({"data": gdev})
+        else:
+            ndev = jax.local_device_count()
+            dp = data_axis_size(args.batch_size, ndev)
+            self.mesh = make_mesh({"data": dp}, devices=jax.devices()[:dp])
+            if dp < ndev and self.rank <= 0:
+                logging.warning(
+                    "batch_size %d not divisible by %d devices; using %d-way data parallel",
+                    args.batch_size, ndev, dp,
+                )
 
         self._auto_resume = ("", None)
         if args.resume == "auto":

@@ -88,6 +88,7 @@ def test_fused_grad_flows(monkeypatch):
     assert any(float(np.abs(v).sum()) > 0 for v in leaves)
 
 
+@pytest.mark.slow
 def test_noisediffnet_fused_paths_match(monkeypatch):
     """Whole-model parity: fused attn-tail + dual-head kernels (interpret)
     vs the XLA paths, same params, identical param tree."""
@@ -136,3 +137,61 @@ def test_fused_heads_flag_falls_back_off_tpu(monkeypatch):
     monkeypatch.setenv("NOISEDIFF_FUSED_HEADS", "1")
     y1 = model.apply({"params": params}, x, t, cond)
     np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+
+@pytest.mark.parametrize("fold", [1, 2])
+@pytest.mark.parametrize("dtype,rtol,atol", [(jnp.float32, 5e-4, 5e-4),
+                                             (jnp.bfloat16, 5e-2, 5e-2)])
+def test_pallas_backward_matches_reference_grads(fold, dtype, rtol, atol):
+    """The Pallas backward kernel (tile recompute + in-kernel vjp) must match
+    jax.grad of the jnp reference for every input and parameter."""
+    b, h, w, c = 2, 8, 16, 12
+    cf = fold * c
+    x = jax.random.normal(jax.random.PRNGKey(10), (b, h, w, cf)).astype(dtype)
+    tok = (jax.random.normal(jax.random.PRNGKey(11), (b, cf)) * 0.3).astype(dtype)
+    p = _params(12, c)
+    args = (x, tok, p["ln_scale"], p["ln_bias"], p["w1"], p["b1"], p["w2"],
+            p["b2"], p["wp"], p["bp"])
+    cot = jax.random.normal(jax.random.PRNGKey(13), (b, h, w, cf)).astype(dtype)
+
+    def loss_fused(*a):
+        return (fused_attn_tail(*a, fold, 1e-5, True).astype(jnp.float32)
+                * cot.astype(jnp.float32)).sum()
+
+    def loss_ref(*a):
+        return (reference_attn_tail(*a, fold=fold).astype(jnp.float32)
+                * cot.astype(jnp.float32)).sum()
+
+    got = jax.grad(loss_fused, argnums=tuple(range(10)))(*args)
+    want = jax.grad(loss_ref, argnums=tuple(range(10)))(*args)
+    names = ["x", "tok", "ln_scale", "ln_bias", "w1", "b1", "w2", "b2",
+             "wp", "bp"]
+    for name, gg, ww in zip(names, got, want):
+        assert gg.shape == ww.shape and gg.dtype == ww.dtype, name
+        scale = max(1.0, float(jnp.abs(ww.astype(jnp.float32)).max()))
+        np.testing.assert_allclose(
+            np.asarray(gg, np.float32) / scale, np.asarray(ww, np.float32) / scale,
+            rtol=rtol, atol=atol, err_msg=name,
+        )
+
+
+def test_pallas_backward_xla_flag_fallback(monkeypatch):
+    """NOISEDIFF_FUSED_ATTN_BWD=xla routes to the jnp-recompute backward."""
+    monkeypatch.setenv("NOISEDIFF_FUSED_ATTN_BWD", "xla")
+    b, h, w, c = 1, 4, 8, 8
+    x = jax.random.normal(jax.random.PRNGKey(20), (b, h, w, c))
+    tok = jax.random.normal(jax.random.PRNGKey(21), (b, c)) * 0.3
+    p = _params(22, c)
+    args = (x, tok, p["ln_scale"], p["ln_bias"], p["w1"], p["b1"], p["w2"],
+            p["b2"], p["wp"], p["bp"])
+
+    def loss(*a):
+        return fused_attn_tail(*a, 1, 1e-5, True).sum()
+
+    def loss_ref(*a):
+        return reference_attn_tail(*a, fold=1).sum()
+
+    got = jax.grad(loss, argnums=(0, 4))(*args)
+    want = jax.grad(loss_ref, argnums=(0, 4))(*args)
+    for gg, ww in zip(got, want):
+        np.testing.assert_allclose(gg, ww, rtol=1e-5, atol=1e-5)

@@ -52,6 +52,7 @@ def _common_flags(tmp_path):
     ]
 
 
+@pytest.mark.slow
 def test_full_pipeline(sid_tree):
     from noisediff_tpu.cli import (
         test_diffusion as td,

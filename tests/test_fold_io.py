@@ -5,6 +5,7 @@ pinned (DDIM eta=0 has zero per-step noise coefficient, so only x_T matters).
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from noisediff_tpu.diffusion import GaussianDiffusion
 from noisediff_tpu.models import NoiseDiffNet
@@ -32,6 +33,7 @@ def _setup(s=16, b=1):
     return gd, params, cond, (b, s, s, 4)
 
 
+@pytest.mark.slow
 def test_ddim_fold_io_parity():
     gd, params, cond, shape = _setup()
     rng = jax.random.PRNGKey(3)

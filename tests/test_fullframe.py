@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from noisediff_tpu.diffusion import GaussianDiffusion
 from noisediff_tpu.diffusion.fullframe import generate_full_frame
@@ -10,6 +11,7 @@ from noisediff_tpu.ops.schedules import make_schedule
 from noisediff_tpu.parallel.mesh import SPATIAL_AXIS, make_mesh
 
 
+@pytest.mark.slow
 def test_generate_full_frame_spatially_sharded():
     model = NoiseDiffNet(dim=16)
     h, w = 32, 48  # miniature packed frame, divisible by the /8 factor
@@ -50,6 +52,7 @@ def test_generate_full_frame_spatially_sharded():
     np.testing.assert_allclose(out, out1, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_generate_full_frame_real_sid_shape():
     """The REAL packed SID frame shape (1424, 2128) sharded 8-ways over
     'spatial': proves the conv halo exchange at the true aspect ratio and

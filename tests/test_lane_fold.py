@@ -23,6 +23,7 @@ def test_fold_conv_kernel_exact():
         np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+@pytest.mark.slow
 def test_noisediffnet_fold_parity():
     k = jax.random.PRNGKey(0)
     b, s = 2, 16
@@ -47,6 +48,7 @@ def test_noisediffnet_fold_parity():
     np.testing.assert_allclose(o1, o0, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_lsid_fold_parity():
     k = jax.random.PRNGKey(0)
     x = jax.random.uniform(k, (2, 24, 32, 4))
@@ -60,6 +62,7 @@ def test_lsid_fold_parity():
     np.testing.assert_allclose(o1, o0, atol=5e-5)
 
 
+@pytest.mark.slow
 def test_fold_nonsquare_input():
     # folded path on a non-square (full-frame aspect) input keeps the shape
     k = jax.random.PRNGKey(0)

@@ -125,6 +125,7 @@ def test_registry():
         define_network("NopeNet", cfg)
 
 
+@pytest.mark.slow
 def test_noisediffnet_remat_equivalent():
     """remat=True must not change params or outputs — only the backward's
     memory/FLOP trade."""

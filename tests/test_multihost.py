@@ -83,6 +83,7 @@ print(json.dumps({"pid": pid, "local_idx": local_idx, "loss": loss,
 """
 
 
+@pytest.mark.slow
 def test_two_process_data_parallel(tmp_path):
     with socket.socket() as s:
         s.bind(("127.0.0.1", 0))

@@ -77,6 +77,7 @@ def _assert_tree_close(a, b, what, atol):
         )
 
 
+@pytest.mark.slow
 def test_auto_resume_reproduces_uninterrupted_run(sid_tree):
     from noisediff_tpu.cli import train_diffusion as trd
     from noisediff_tpu.cli.common import set_random_seed, setup_run_dirs

@@ -68,6 +68,7 @@ def _setup(s=16, b=8):
     return gd, variables["params"], batch
 
 
+@pytest.mark.slow
 def test_data_parallel_matches_single_device():
     gd, params, batch = _setup()
     opt = make_optimizer()
@@ -106,6 +107,7 @@ def test_param_sharding_rules_tp():
     assert any(s != P() and s[-1] == "model" for s in specs)
 
 
+@pytest.mark.slow
 def test_full_3d_mesh_train_step():
     """dp x sp x tp train step: batch over 'data', H over 'spatial', wide
     kernels over 'model'."""

@@ -99,6 +99,7 @@ def _diffusion_setup(s=16, b=2):
     return gd, variables["params"]
 
 
+@pytest.mark.slow
 def test_diffusion_train_step_runs_and_learns():
     gd, params = _diffusion_setup()
     opt = make_optimizer()
@@ -151,6 +152,7 @@ def test_denoising_train_step_with_sna():
     assert int(state2.step) == 1
 
 
+@pytest.mark.slow
 def test_set_learning_rate_changes_updates():
     gd, params = _diffusion_setup(s=16, b=1)
     opt = make_optimizer()
