@@ -29,6 +29,8 @@ def build_parser() -> argparse.ArgumentParser:
     ## network setting
     parser.add_argument("--net_name", default="LSID", type=str, help="LSID | ")
     parser.add_argument("--dim", default=48, type=int)
+    parser.add_argument("--lsid_width", default=32, type=int,
+                        help="LSID level-1 width (extension; 32 = reference)")
     parser.add_argument("--inp_dim", default=4, type=int)
     parser.add_argument("--cond_dim", default=4, type=int)
 

@@ -48,7 +48,10 @@ def _posembv2_cam(cfg, dtype=None):
 
 @register("LSID")
 def _lsid(cfg, dtype=None):
-    return LSID(dtype=dtype)
+    # lsid_width: framework extension (default 32 = the reference
+    # architecture); reduced widths serve bounded-budget runs like the
+    # closed-loop learning gate (scripts/learning_gate.py).
+    return LSID(dtype=dtype, base_width=getattr(cfg, "lsid_width", 32))
 
 
 def define_network(net_name: str, cfg, dtype=None):

@@ -62,6 +62,10 @@ class LSID(nn.Module):
     # width-fold the narrow (C < 96) levels; see NoiseDiffNet.lane_fold.
     # None = auto (on for the TPU backend when the width allows it).
     lane_fold: Optional[bool] = None
+    # level-1 channel width; levels scale (w, 2w, 4w, 8w, 16w). 32 is the
+    # reference architecture (SID_arch.py:49-175, param count pinned);
+    # smaller widths serve the bounded-budget closed-loop learning gate.
+    base_width: int = 32
 
     @nn.compact
     def __call__(self, x):
@@ -72,6 +76,7 @@ class LSID(nn.Module):
         lane_fold = lane_fold and x.shape[2] % 4 == 0
         F = 2 if lane_fold else 1
         conv = partial(_ConvLrelu, dtype=self.dtype)
+        w = self.base_width
 
         def up(features, name):
             return nn.ConvTranspose(
@@ -87,41 +92,41 @@ class LSID(nn.Module):
 
         if F > 1:
             x = fold_width(x, F)
-        x = conv(32, fold=F, name="conv1_1")(x)
-        x = conv(32, fold=F, name="conv1_2")(x)
+        x = conv(w, fold=F, name="conv1_1")(x)
+        x = conv(w, fold=F, name="conv1_2")(x)
         c1 = x  # folded skip
         x = pool_folded(x, F)
 
-        x = conv(64, fold=F, name="conv2_1")(x)
-        x = conv(64, fold=F, name="conv2_2")(x)
+        x = conv(2 * w, fold=F, name="conv2_1")(x)
+        x = conv(2 * w, fold=F, name="conv2_2")(x)
         c2 = x
         x = _maxpool_ceil(unfold_width(x, F) if F > 1 else x)
 
-        x = conv(128, name="conv3_1")(x)
-        x = conv(128, name="conv3_2")(x)
+        x = conv(4 * w, name="conv3_1")(x)
+        x = conv(4 * w, name="conv3_2")(x)
         c3 = x
         x = _maxpool_ceil(x)
 
-        x = conv(256, name="conv4_1")(x)
-        x = conv(256, name="conv4_2")(x)
+        x = conv(8 * w, name="conv4_1")(x)
+        x = conv(8 * w, name="conv4_2")(x)
         c4 = x
         x = _maxpool_ceil(x)
 
-        x = conv(512, name="conv5_1")(x)
-        x = conv(512, name="conv5_2")(x)
+        x = conv(16 * w, name="conv5_1")(x)
+        x = conv(16 * w, name="conv5_2")(x)
 
         def merge(x, skip):
             # crop the upsampled map to the skip's spatial size (SID_arch.py:140)
             x = x[:, : skip.shape[1], : skip.shape[2], :]
             return (x, skip)  # channel-concat as conv parts (blocks._ConvParams)
 
-        x = merge(up(256, "up6")(x), c4)
-        x = conv(256, name="conv6_1")(x)
-        x = conv(256, name="conv6_2")(x)
+        x = merge(up(8 * w, "up6")(x), c4)
+        x = conv(8 * w, name="conv6_1")(x)
+        x = conv(8 * w, name="conv6_2")(x)
 
-        x = merge(up(128, "up7")(x), c3)
-        x = conv(128, name="conv7_1")(x)
-        x = conv(128, name="conv7_2")(x)
+        x = merge(up(4 * w, "up7")(x), c3)
+        x = conv(4 * w, name="conv7_1")(x)
+        x = conv(4 * w, name="conv7_2")(x)
 
         def merge_folded(x, skip, f):
             # upsampled map arrives unfolded; skip is folded
@@ -130,17 +135,17 @@ class LSID(nn.Module):
                 return (fold_width(x, f), skip)
             return merge(x, skip)
 
-        x = merge_folded(up(64, "up8")(x), c2, F)
-        x = conv(64, fold=F, name="conv8_1")(x)
-        x = conv(64, fold=F, name="conv8_2")(x)
+        x = merge_folded(up(2 * w, "up8")(x), c2, F)
+        x = conv(2 * w, fold=F, name="conv8_1")(x)
+        x = conv(2 * w, fold=F, name="conv8_2")(x)
 
         x = unfold_width(x, F) if F > 1 else x
-        x = merge_folded(up(32, "up9")(x), c1, F)
-        x = conv(32, fold=F, name="conv9_1")(x)
-        x = conv(32, fold=F, name="conv9_2")(x)
+        x = merge_folded(up(w, "up9")(x), c1, F)
+        x = conv(w, fold=F, name="conv9_1")(x)
+        x = conv(w, fold=F, name="conv9_2")(x)
 
         y = _ConvParams(
-            features=self.inchannel, in_features=32, kernel_size=1, strides=1,
+            features=self.inchannel, in_features=w, kernel_size=1, strides=1,
             padding="SAME", use_bias=True, dtype=self.dtype, fold=F,
             kernel_init=_he_fanout_conv, bias_init=jax.nn.initializers.zeros,
             name="conv10",

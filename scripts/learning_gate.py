@@ -40,15 +40,22 @@ SCALE = WHITE - BLACK
 
 SCALES = {
     # frames: (bayer_h, bayer_w); model dim; crop (packed px); epochs;
-    # batch; diffusion T; DDIM steps; LSID epochs
+    # batch; diffusion T; DDIM steps; LSID width/epochs. An 'epoch' is the
+    # rebalanced SID list (~100 samples), so diffusion steps ~= epochs *
+    # 100 / batch. Budgets sized so stage-1 actually converges: an
+    # undertrained model generates near the N(0,1) prior (std ~0.6 vs the
+    # real residual's ~0.05) and poisons stage 2.
     "tiny": dict(fh=96, fw=128, n_train=4, n_test=2, dim=16, crop=16,
-                 epochs=30, batch=8, T=64, ddim=16, den_epochs=40,
+                 epochs=160, batch=8, T=64, ddim=16, lr=3e-4,
+                 lsid_width=8, den_epochs=60, den_lr=1e-3,
                  den_crop=16, gen_batch=16),
     "small": dict(fh=192, fw=256, n_train=6, n_test=2, dim=32, crop=32,
-                  epochs=10, batch=8, T=256, ddim=25, den_epochs=6,
+                  epochs=80, batch=8, T=256, ddim=25, lr=3e-4,
+                  lsid_width=8, den_epochs=30, den_lr=1e-3,
                   den_crop=32, gen_batch=16),
     "tpu": dict(fh=512, fw=768, n_train=8, n_test=3, dim=48, crop=64,
-                epochs=12, batch=16, T=1000, ddim=50, den_epochs=8,
+                epochs=800, batch=16, T=1000, ddim=50, lr=2e-4,
+                lsid_width=16, den_epochs=150, den_lr=5e-4,
                 den_crop=64, gen_batch=32),
 }
 
@@ -189,8 +196,15 @@ def main(argv=None):
                     help="force a jax backend, e.g. 'cpu' (the axon TPU "
                          "plugin ignores JAX_PLATFORMS; this goes through "
                          "jax.config). Default: the environment's backend.")
+    ap.add_argument("--set", action="append", default=[], metavar="K=V",
+                    help="override a scale knob, e.g. --set epochs=40")
     args = ap.parse_args(argv)
-    cfg = SCALES[args.scale]
+    cfg = dict(SCALES[args.scale])
+    for kv in getattr(args, "set"):
+        k, v = kv.split("=", 1)
+        if k not in cfg:
+            raise SystemExit(f"unknown knob {k!r}; knobs: {sorted(cfg)}")
+        cfg[k] = type(cfg[k])(v)
 
     if args.platform:
         import jax
@@ -218,9 +232,10 @@ def main(argv=None):
         "--trainset", "SonyTrainDataset",
         *diffusion_flags(cfg),
         "--batch_size", str(cfg["batch"]),
+        "--lr", str(cfg["lr"]),
         "--max_iter", str(cfg["epochs"]),
         "--save_epoch_freq", str(cfg["epochs"]),
-        "--log_freq", "50",
+        "--log_freq", "200",
         "--save_folder", os.path.join(logs, "weights"),
         *common_flags(args.workdir, sid),
     ])
@@ -233,6 +248,11 @@ def main(argv=None):
         os.path.join(snap, "net_final")
     gen1 = run_generation(cfg, args.workdir, sid, "gen_trained", resume=resume)
     kld1 = run_kld(args.workdir, sid, gen1)
+    # cheap convergence indicator: the real residual std is ~0.05-0.07;
+    # an undertrained model's generations sit near the N(0,1) prior
+    gen_std = float(np.std(np.stack([
+        np.load(p) for p in sorted(glob.glob(os.path.join(gen1, "*.npy")))[:64]
+    ])))
 
     ## 4. stage 2: train LSID on the generated noise, eval on held-out pairs
     synth_root = os.path.join(args.workdir, "synth")
@@ -243,13 +263,15 @@ def main(argv=None):
     trden.main([
         "--name", "gate_denoise",
         "--net_name", "LSID",
+        "--lsid_width", str(cfg["lsid_width"]),
         "--trainset", "SyntheticNoisDiffDenoisingDataset",
         "--loss_l1",
         "--crop_size", str(cfg["den_crop"]),
         "--batch_size", str(cfg["batch"]),
+        "--lr", str(cfg["den_lr"]),
         "--max_iter", str(cfg["den_epochs"]),
         "--save_epoch_freq", str(cfg["den_epochs"]),
-        "--log_freq", "50",
+        "--log_freq", "200",
         "--vis_freq", "100000",
         "--synthetic_folder", synth_root,
         "--save_folder", os.path.join(logs, "dweights"),
@@ -259,6 +281,7 @@ def main(argv=None):
 
     den_args = den_parser().parse_args([
         "--resume", os.path.join(dsnap, "net_final"),
+        "--lsid_width", str(cfg["lsid_width"]),
         "--ratio", str(int(RATIO)),
         "--test_dataset", "SID",
         "--save_folder", os.path.join(args.workdir, "eval_out"),
@@ -275,6 +298,7 @@ def main(argv=None):
                         "ratio": RATIO},
         "kld_untrained": kld0,
         "kld_trained": kld1,
+        "generated_noise_std": gen_std,
         "kld_improvement": (
             kld0["kld_symmetric"] / max(kld1["kld_symmetric"], 1e-12)
         ),
