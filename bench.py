@@ -319,6 +319,30 @@ def main():
         ).astype(jnp.float32).mean()
     )
     t_opt = timed_fetch(sample, params, rng, cond)
+
+    # fused heads+DDIM-update sampler tail (ops/pallas/ddim_head.py):
+    # measured neutral (xla) to slower (pallas) vs the plain scan on the v5e
+    # (BENCH_NOTES.md), so it is NOT part of the headline; BENCH_FUSED_TAIL
+    # =xla|pallas re-measures it.
+    t_fused = None
+    tail_mode = os.environ.get("BENCH_FUSED_TAIL", "")
+    if tail_mode in ("xla", "pallas"):
+        try:
+            trunk = model.clone(trunk_only=True)
+
+            def trunk_fn(p, xx, tt, c):
+                return trunk.apply({"params": p}, xx, tt, c)
+
+            sample_fused = jax.jit(
+                lambda p, r, c: gd.ddim_sample(
+                    p, r, shape, c, sampling_timesteps=DDIM_STEPS,
+                    fold_io=fold_io, trunk_apply_fn=trunk_fn,
+                    fused_mode=tail_mode,
+                ).astype(jnp.float32).mean()
+            )
+            t_fused = timed_fetch(sample_fused, params, rng, cond)
+        except Exception:
+            t_fused = None
     patches_per_sec = BATCH / t_opt
 
     # framework extension: DPM-Solver++(2M) at 25 steps (quality-comparable
@@ -419,6 +443,11 @@ def main():
                 "baseline": round(baseline_patches_per_sec, 4),
                 "baseline_unit": "patches/s (fp32 DDPM-1000-equivalent, bs=4, reference-shipped config)",
                 "batch_seconds": round(t_opt, 3),
+                **(
+                    {"batch_seconds_fused_tail": round(t_fused, 3),
+                     "fused_tail_mode": tail_mode}
+                    if t_fused else {}
+                ),
                 "dpm_solver_patches_per_sec": round(BATCH / t_dpm, 4),
                 "dpm_solver_steps": dpm_steps,
                 "unet_eval_ms_bf16": round(eval_ms_bf16, 2),

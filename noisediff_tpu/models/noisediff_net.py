@@ -64,6 +64,11 @@ class NoiseDiffNet(nn.Module):
     # fp reduction order) measured ~2.2x faster stage-1 convs. None = auto
     # (enabled on the TPU backend when the spatial width allows it).
     lane_fold: Optional[bool] = None
+    # return the pre-head trunk maps + raw head params instead of applying
+    # the dual heads: feeds the fused heads+DDIM-update sampler kernel
+    # (ops/pallas/ddim_head.py). Param tree is identical to the normal
+    # path (the head banks are created at the same tree paths).
+    trunk_only: bool = False
 
     @property
     def downsample_factor(self) -> int:
@@ -173,7 +178,7 @@ class NoiseDiffNet(nn.Module):
         fuse_heads = head_flag == "interpret" or (
             head_flag == "1" and _fused_kernel_ok(shot)
         )
-        if fuse_heads:
+        if fuse_heads or self.trunk_only:
             shot_noise = None
         else:
             shot = shot + shot_res
@@ -291,6 +296,15 @@ class NoiseDiffNet(nn.Module):
             dim, time_emb_dim=time_dim, groups=self.resnet_block_groups,
             dtype=self.dtype, fold=F, name="final_res_block",
         )((x, r), t)
+        if self.trunk_only:
+            # pre-head maps stay FOLDED (F); the fused sampler kernel works
+            # in the folded domain and the carry is folded too (fold_io)
+            w1, b1, w2, b2 = _MlpBank(dim, dim, self.channels,
+                                      name="shot_mlp3")()
+            wr, br = _ConvParamBank((1, 1), dim, self.channels,
+                                    name="final_conv")()
+            return x, shot, shot_res, (w1[0, 0], b1, w2[0, 0], b2, wr[0, 0],
+                                       br)
         if fuse_heads:
             from ..ops.pallas.dual_head import fused_dual_head
 

@@ -124,9 +124,10 @@ def _kernel(x_ref, tok_ref, lns_ref, lnb_ref, mavg_ref, w1_ref, b1_ref,
     ).reshape(r, w, b, cf)
 
 
-def _tile_rows(h: int, w: int, cf: int) -> int:
+def _tile_rows(h: int, w: int, cf: int,
+               limit_elems: int = TILE_TOKEN_LIMIT) -> int:
     """Largest row count R dividing h with R*w*cf elements within budget."""
-    limit = max(1, min(TILE_TOKEN_LIMIT // max(w * cf, 1), h))
+    limit = max(1, min(limit_elems // max(w * cf, 1), h))
     for r in range(limit, 0, -1):
         if h % r == 0:
             return r

@@ -356,13 +356,34 @@ class Trainer:
                 else 1
             )
 
+            # fused heads+DDIM-update tail (ops/pallas/ddim_head.py),
+            # exact-parity-tested vs the plain scan (tests/test_ddim_head.py).
+            # Measured NEUTRAL-to-slower on the v5e (plain 19.5 / xla 19.7 /
+            # pallas 21.2 ms per eval, BENCH_NOTES.md) — XLA already fuses
+            # the plain tail to near-roofline — so it stays opt-in:
+            # NOISEDIFF_FUSED_TAIL=xla|pallas.
+            tail_flag = os.environ.get("NOISEDIFF_FUSED_TAIL", "")
+            trunk_fn = None
+            if (
+                tail_flag in ("xla", "pallas", "1")
+                and gd.objective == "pred_v"
+                and getattr(self.model, "trunk_only", None) is False
+            ):
+                trunk = self.model.clone(trunk_only=True)
+
+                def trunk_fn(params, x, t, condition):
+                    return trunk.apply({"params": params}, x, t, condition)
+
             def fn(params, rng, condition):
                 if sampler == "dpm":
                     return gd.dpm_solver_sample(params, rng, shape, condition,
                                                 fold_io=fold_io)
                 if sampler == "ddim" or (sampler == "auto" and gd.is_ddim_sampling):
-                    return gd.ddim_sample(params, rng, shape, condition,
-                                          fold_io=fold_io)
+                    return gd.ddim_sample(
+                        params, rng, shape, condition, fold_io=fold_io,
+                        trunk_apply_fn=trunk_fn,
+                        fused_mode="pallas" if tail_flag == "pallas" else "xla",
+                    )
                 return gd.p_sample_loop(params, rng, shape, condition,
                                         fold_io=fold_io)
 
