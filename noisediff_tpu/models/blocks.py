@@ -22,7 +22,9 @@ exactly this bound), embeddings ~ N(0, 1).
 """
 from __future__ import annotations
 
+import functools
 import math
+import os
 from functools import partial
 from typing import Any, Callable, Optional, Sequence
 
@@ -128,6 +130,59 @@ def _fold_conv_kernel(
     return jnp.concatenate(parts, axis=2)
 
 
+def _unfold_bwd_enabled() -> bool:
+    """Whether folded SAME/stride-1 convs compute their backward in the
+    UNFOLDED domain (exact: the width-fold is a bitcast reshape in NHWC
+    row-major, so unfolded wgrad/dgrad are the true gradients of the
+    reference kernel). This sidesteps two backward pathologies of the
+    folded formulation: the fold selector's einsum transpose lowers the
+    wgrad into activation-sized masked-select fusions, and the folded
+    kernel's zero structure doubles the backward conv FLOPs.
+
+    MEASURED SLOWER on TPU v5e (2026-08-17, BENCH_NOTES round-2 train
+    section): whole-model crop-512 train step 2.92 -> 2.40 steps/s, and
+    even the isolated 512x512x48 conv grad loses (6.30 folded-autodiff vs
+    6.97 custom ms/eval — scripts/bench_wgrad.py): the unfold/fold
+    round-trip of two activation-sized tensors costs more than the
+    masked-select wgrads it avoids. Kept default-off as an exact,
+    parity-tested lowering alternative for other runtimes/chips."""
+    return os.environ.get("NOISEDIFF_UNFOLD_BWD", "0") == "1"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _folded_conv_same(x, kernel, fold):
+    """stride-1 SAME conv of a width-folded tensor with the reference
+    (unfolded) HWIO kernel; backward runs in the unfolded domain."""
+    kf = _fold_conv_kernel(kernel, (kernel.shape[2],), fold)
+    return jax.lax.conv_general_dilated(
+        x, kf.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _fcs_fwd(x, kernel, fold):
+    return _folded_conv_same(x, kernel, fold), (x, kernel)
+
+
+def _fcs_bwd(fold, res, g):
+    x, kernel = res
+    xu = unfold_width(x, fold)
+    gu = unfold_width(g, fold)
+
+    def f(xx, k):
+        return jax.lax.conv_general_dilated(
+            xx, k.astype(xx.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    _, vjp = jax.vjp(f, xu, kernel)
+    dxu, dk = vjp(gu)
+    return fold_width(dxu, fold), dk
+
+
+_folded_conv_same.defvjp(_fcs_fwd, _fcs_bwd)
+
+
 class _ConvParams(nn.Module):
     """Explicit conv parameter holder + apply. Parameter tree paths and
     initialisation match flax nn.Conv ('kernel' HWIO + 'bias'), so
@@ -171,19 +226,26 @@ class _ConvParams(nn.Module):
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
 
+        unfold_bwd = (
+            self.fold > 1 and self.strides == 1 and pad == "SAME"
+            and _unfold_bwd_enabled()
+        )
         y = None
         start = 0
         for part in parts:
             cs = part.shape[-1] // self.fold
             k = kernel[:, :, start : start + cs, :]
             start += cs
-            if self.fold > 1:
-                k = _fold_conv_kernel(k, (cs,), self.fold)
-            yi = jax.lax.conv_general_dilated(
-                part.astype(dtype), k.astype(dtype),
-                (self.strides, self.strides), pad,
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            if unfold_bwd:
+                yi = _folded_conv_same(part.astype(dtype), k, self.fold)
+            else:
+                if self.fold > 1:
+                    k = _fold_conv_kernel(k, (cs,), self.fold)
+                yi = jax.lax.conv_general_dilated(
+                    part.astype(dtype), k.astype(dtype),
+                    (self.strides, self.strides), pad,
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
             y = yi if y is None else y + yi
         assert start == self.in_features, (start, self.in_features)
         if bias is not None:
@@ -256,11 +318,18 @@ class _DenseParams(nn.Module):
             # folded 4-D path: run as a folded 1x1 conv — a block-diagonal
             # dense kernel gets rewritten by XLA into activation-sized
             # masked selects (profiled ~0.8ms each), the conv path doesn't
-            k = _fold_conv_kernel(kernel[None, None], (self.in_features,), self.fold)
-            y = jax.lax.conv_general_dilated(
-                x.astype(dtype), k.astype(dtype), (1, 1), "SAME",
-                dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            )
+            if _unfold_bwd_enabled():
+                y = _folded_conv_same(
+                    x.astype(dtype), kernel[None, None], self.fold
+                )
+            else:
+                k = _fold_conv_kernel(
+                    kernel[None, None], (self.in_features,), self.fold
+                )
+                y = jax.lax.conv_general_dilated(
+                    x.astype(dtype), k.astype(dtype), (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
             if bias is not None:
                 y = y + jnp.tile(bias, self.fold).astype(dtype)
             return y

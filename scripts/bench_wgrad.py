@@ -2,18 +2,22 @@
 
 BENCH_NOTES (round 4): the train step's wgrad convs of the folded 3x3
 layers lower into activation-sized masked-select fusions (~1 ms each).
-Hypothesis: computing the weight gradient in the UNFOLDED domain (the fold
-is a pure reindexing, so the unfolded wgrad is the exact gradient of the
-unfolded kernel) avoids the masked-select rewrite of the fold selector's
-einsum transpose, at the cost of two unfold reshapes of activation tensors.
+Hypothesis: computing the gradients in the UNFOLDED domain (the fold is a
+pure bitcast reshape in NHWC row-major, so the unfolded grads are exact)
+avoids the masked-select rewrite of the fold selector's einsum transpose
+AND the fold's 2x zero-padded backward FLOPs.
 
-Measures fwd+bwd of sum(conv(x)) for: (a) folded autodiff (today's path),
-(b) unfolded autodiff (no fold), (c) folded fwd + custom unfolded wgrad.
+Measures fwd+bwd of 0.5*sum(conv(x)^2) chained K times inside one jit
+(scan-delta: K=10 vs K=2, so tunnel dispatch cancels) for:
+(a) folded autodiff (today's path), (b) unfolded autodiff (no fold),
+(c) folded fwd + custom unfolded bwd.
 """
 import functools
 import os
+import sys
 import time
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/noisediff_jax_cache_tpu")
 
 import jax
@@ -35,18 +39,6 @@ def conv(x, k, pad="SAME"):
     )
 
 
-def timed(fn, *args, repeats=3):
-    jax.block_until_ready(fn(*args))
-    float(jnp.asarray(fn(*args)[0]).sum())  # fetch sync (axon tunnel)
-    best = 1e30
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        r = fn(*args)
-        float(jnp.asarray(r[0]).sum())
-        best = min(best, time.perf_counter() - t0)
-    return best
-
-
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def folded_conv(x, kernel, fold):
     kf = _fold_conv_kernel(kernel, (kernel.shape[2],), fold)
@@ -59,26 +51,54 @@ def _fc_fwd(x, kernel, fold):
 
 def _fc_bwd(fold, res, g):
     x, kernel = res
-    kf = _fold_conv_kernel(kernel, (kernel.shape[2],), fold)
-
-    def fx(xx):
-        return conv(xx, kf.astype(xx.dtype))
-
-    _, vjp_x = jax.vjp(fx, x)
-    (dx,) = vjp_x(g)
-
     xu = unfold_width(x, fold)
     gu = unfold_width(g, fold)
 
-    def fk(k):
-        return conv(xu, k.astype(xu.dtype))
+    def f(xx, k):
+        return conv(xx, k.astype(xx.dtype))
 
-    _, vjp_k = jax.vjp(fk, kernel)
-    (dk,) = vjp_k(gu)
-    return dx, dk
+    _, vjp = jax.vjp(f, xu, kernel)
+    dxu, dk = vjp(gu)
+    return fold_width(dxu, fold), dk
 
 
 folded_conv.defvjp(_fc_fwd, _fc_bwd)
+
+
+def grad_step(loss_fn):
+    def g(x, k):
+        def f(x, k):
+            y = loss_fn(x, k)
+            return (y.astype(jnp.float32) ** 2).sum() * 0.5
+
+        return jax.grad(f, argnums=(0, 1))(x, k)
+
+    return g
+
+
+def chained(g, K):
+    """K grad evals with a data dependency so XLA can't dedup them."""
+
+    @jax.jit
+    def run(x, k):
+        def body(carry, _):
+            dx, dk = g(carry, k)
+            return (carry + 1e-6 * dx).astype(carry.dtype), dk.mean()
+        x2, dks = jax.lax.scan(body, x, None, length=K)
+        return x2.astype(jnp.float32).mean() + dks.sum()
+
+    return run
+
+
+def timed_scan_delta(g, x, k, n1=2, n2=10):
+    r1, r2 = chained(g, n1), chained(g, n2)
+    float(r1(x, k)); float(r2(x, k))  # compile + warm
+    best = 1e30
+    for _ in range(3):
+        t0 = time.perf_counter(); float(r2(x, k)); tb = time.perf_counter() - t0
+        t0 = time.perf_counter(); float(r1(x, k)); ta = time.perf_counter() - t0
+        best = min(best, (tb - ta) / (n2 - n1))
+    return best
 
 
 def main():
@@ -87,49 +107,38 @@ def main():
     xu = jax.random.normal(rng, (B, H, W, C), DT)
     xf = fold_width(xu, 2)
 
-    @jax.jit
-    def g_folded(x, kk):
-        def f(x, kk):
-            kf = _fold_conv_kernel(kk, (C,), 2)
-            return (conv(x, kf.astype(x.dtype)).astype(jnp.float32)).sum()
+    def f_folded(x, kk):
+        kf = _fold_conv_kernel(kk, (C,), 2)
+        return conv(x, kf.astype(x.dtype))
 
-        return jax.grad(f, argnums=(0, 1))(x, kk)
+    def f_unfolded(x, kk):
+        return conv(x, kk.astype(x.dtype))
 
-    @jax.jit
-    def g_unfolded(x, kk):
-        def f(x, kk):
-            return (conv(x, kk.astype(x.dtype)).astype(jnp.float32)).sum()
-
-        return jax.grad(f, argnums=(0, 1))(x, kk)
-
-    @jax.jit
-    def g_custom(x, kk):
-        def f(x, kk):
-            return folded_conv(x, kk, 2).astype(jnp.float32).sum()
-
-        return jax.grad(f, argnums=(0, 1))(x, kk)
+    def f_custom(x, kk):
+        return folded_conv(x, kk, 2)
 
     # numeric parity first
-    dxf, dkf = g_folded(xf, k)
-    dxc, dkc = g_custom(xf, k)
     import numpy as np
 
-    np.testing.assert_allclose(
-        np.asarray(dkc), np.asarray(dkf), rtol=2e-2, atol=2e-2
-    )
-    np.testing.assert_allclose(
-        np.asarray(dxc, np.float32), np.asarray(dxf, np.float32),
-        rtol=1e-2, atol=1e-2,
-    )
-    print("parity ok", flush=True)
+    # loose sanity only: bf16 grads at ~1e5 magnitude reassociate differently
+    # between the two lowerings; exact parity is pinned in fp32 by
+    # tests/test_lane_fold.py::test_folded_conv_unfold_bwd_parity
+    dxf, dkf = jax.jit(grad_step(f_folded))(xf, k)
+    dxc, dkc = jax.jit(grad_step(f_custom))(xf, k)
+    for a, b, tag in ((dkc, dkf, "dk"), (dxc, dxf, "dx")):
+        a = np.asarray(a, np.float32).ravel()
+        b = np.asarray(b, np.float32).ravel()
+        rel = np.abs(a - b) / (np.abs(b).mean() + 1e-9)
+        assert rel.max() < 0.1, (tag, rel.max())
+    print("parity ok (bf16 sanity)", flush=True)
 
     for name, fn, x in (
-        ("folded-autodiff ", g_folded, xf),
-        ("unfolded-autodiff", g_unfolded, xu),
-        ("custom-unfold-wgrad", g_custom, xf),
+        ("folded-autodiff    ", f_folded, xf),
+        ("unfolded-autodiff  ", f_unfolded, xu),
+        ("custom-unfold-bwd  ", f_custom, xf),
     ):
-        t = timed(fn, x, k)
-        print(f"{name}: {t * 1e3:.2f} ms", flush=True)
+        t = timed_scan_delta(grad_step(fn), x, k)
+        print(f"{name}: {t * 1e3:.3f} ms/grad-eval", flush=True)
 
 
 if __name__ == "__main__":

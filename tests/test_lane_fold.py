@@ -98,3 +98,56 @@ def test_noisediffnet_fold_parity_small_dim():
     y0 = m0.apply({"params": params}, x, t, cond)
     y1 = m1.apply({"params": params}, x, t, cond)
     np.testing.assert_allclose(y0, y1, rtol=2e-5, atol=2e-5)
+
+
+def test_folded_conv_unfold_bwd_parity():
+    """NOISEDIFF_UNFOLD_BWD routes folded SAME/stride-1 convs through a
+    custom_vjp whose backward runs in the unfolded domain (the fold is a
+    bitcast reshape in NHWC row-major, so the unfolded grads are exact).
+    Forward and both gradients must match the folded-autodiff path."""
+    from noisediff_tpu.models.blocks import _folded_conv_same
+
+    rng = np.random.default_rng(0)
+    fold, cin, cout = 2, 12, 20
+    x = jnp.asarray(rng.normal(size=(2, 16, 12, cin * fold)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, cin, cout)).astype(np.float32))
+    g = jnp.asarray(rng.normal(size=(2, 16, 12, cout * fold)).astype(np.float32))
+
+    def ref(xx, kk):
+        kf = _fold_conv_kernel(kk, (cin,), fold)
+        return jax.lax.conv_general_dilated(
+            xx, kf, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+
+    y1, vjp1 = jax.vjp(lambda xx, kk: _folded_conv_same(xx, kk, fold), x, k)
+    y2, vjp2 = jax.vjp(ref, x, k)
+    np.testing.assert_allclose(y1, y2, atol=1e-5)
+    (dx1, dk1), (dx2, dk2) = vjp1(g), vjp2(g)
+    np.testing.assert_allclose(dx1, dx2, atol=1e-4)
+    np.testing.assert_allclose(dk1, dk2, rtol=1e-5, atol=1e-3)
+
+
+def test_noisediffnet_unfold_bwd_grad_parity(monkeypatch):
+    """Whole-model gradients with the flag on must match the flag-off path
+    (both are exact gradients of the same function; tolerance is fp
+    reassociation only)."""
+    monkeypatch.setenv("NOISEDIFF_UNFOLD_BWD", "0")
+    b, s = 1, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, s, s, 4))
+    t = jnp.array([5])
+    cond = {
+        "clean_img": jax.random.uniform(jax.random.PRNGKey(1), (b, s, s, 4)),
+        "position": jax.random.uniform(jax.random.PRNGKey(2), (b, s, s, 2)),
+        "iso_ratio_idx": jnp.array([3]),
+    }
+    m = NoiseDiffNet(dim=8, pos_dim=4, lane_fold=True)
+    params = m.init(jax.random.PRNGKey(3), x, t, cond)["params"]
+
+    def loss(p):
+        return jnp.sum(m.apply({"params": p}, x, t, cond) ** 2)
+
+    g0 = jax.grad(loss)(params)
+    monkeypatch.setenv("NOISEDIFF_UNFOLD_BWD", "1")
+    g1 = jax.grad(loss)(params)
+    for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(a, b_, rtol=2e-4, atol=2e-4)
