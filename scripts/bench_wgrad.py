@@ -117,6 +117,14 @@ def main():
     def f_custom(x, kk):
         return folded_conv(x, kk, 2)
 
+    def f_kbarrier(x, kk):
+        # barrier the FOLDED kernel: autodiff then computes the folded-domain
+        # wgrad as a plain conv and applies the fold-selector transpose to the
+        # small [kh,kw',2C,2C] kernel grad instead of fusing it into the wgrad
+        # as activation-sized masked selects
+        kf = jax.lax.optimization_barrier(_fold_conv_kernel(kk, (C,), 2))
+        return conv(x, kf.astype(x.dtype))
+
     # numeric parity first
     import numpy as np
 
@@ -136,6 +144,7 @@ def main():
         ("folded-autodiff    ", f_folded, xf),
         ("unfolded-autodiff  ", f_unfolded, xu),
         ("custom-unfold-bwd  ", f_custom, xf),
+        ("folded-kernel-bar  ", f_kbarrier, xf),
     ):
         t = timed_scan_delta(grad_step(fn), x, k)
         print(f"{name}: {t * 1e3:.3f} ms/grad-eval", flush=True)
