@@ -130,6 +130,93 @@ def _fold_conv_kernel(
     return jnp.concatenate(parts, axis=2)
 
 
+def _taps_wgrad_enabled() -> bool:
+    """Whether stride-1 SAME convs compute their weight gradient as one
+    tall-skinny matmul per kernel tap (kh*kw einsums of [B*H*W, Cin] x
+    [B*H*W, Cout] over shifted activation slices) instead of XLA's
+    wgrad-as-convolution lowering. In the whole-model train step XLA's
+    wgrad re-tiles the activations into halo-padded [512,32,33,C] blocks
+    with batch-minor layouts, spending more on layout copies and
+    masked-select pads than on the MXU contraction (profiled: the two
+    concat-input full-res blocks cost 16.5/14.8 ms of which <25% is
+    MXU). The per-tap form needs no re-tiling: each tap is a plain
+    f32-accumulated dot over the native NHWC layout. dgrad stays XLA's
+    transposed convolution; for folded convs the fold-selector transpose
+    is applied to the small folded kernel grad.
+
+    MEASURED SLOWER on TPU v5e (2026-08-17): whole-model crop-512 train
+    step 354 -> 412 ms (every full-res block regressed, e.g.
+    ups_3_block2/block1 9.0 -> 16.1 ms) even though the isolated conv
+    microbench wins 3% (scripts/bench_wgrad.py: 6.18 vs 6.38 ms). The 9
+    shifted re-reads of each activation cost more HBM traffic than XLA's
+    halo-re-tiling, and the custom_vjp boundary blocks wgrad/GN-chain
+    fusion. Kept default-off as an exact, parity-tested alternative
+    lowering (grad parity pinned at 6.7e-7 rel whole-model)."""
+    return os.environ.get("NOISEDIFF_TAPS_WGRAD", "0") == "1"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _conv_same_taps(x, kernel, fold):
+    """stride-1 SAME NHWC conv with reference (unfolded, HWIO) parameter
+    `kernel`; fold > 1 means x is width-folded and the kernel is folded at
+    apply time. Backward: per-tap einsum wgrad (see _taps_wgrad_enabled)."""
+    kf = _fold_conv_kernel(kernel, (kernel.shape[2],), fold) if fold > 1 else kernel
+    return jax.lax.conv_general_dilated(
+        x, kf.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _cst_fwd(x, kernel, fold):
+    return _conv_same_taps(x, kernel, fold), (x, kernel)
+
+
+def _cst_bwd(fold, res, g):
+    x, kernel = res
+    cin = kernel.shape[2]
+    kf = _fold_conv_kernel(kernel, (cin,), fold) if fold > 1 else kernel
+    kh, kw = kf.shape[0], kf.shape[1]
+    # dgrad: plain SAME conv of g with the spatially-reversed, IO-swapped
+    # kernel (exact for odd kernels, stride 1, SAME)
+    kt = jnp.flip(kf, (0, 1)).swapaxes(2, 3)
+    dx = jax.lax.conv_general_dilated(
+        g, kt.astype(g.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    # wgrad: one [BHW, Cf] x [BHW, Cf] matmul per tap over shifted slices
+    b, h, w, cf = x.shape
+    if kh == 1 and kw == 1:
+        dkf = jnp.einsum(
+            "bhwi,bhwo->io", x, g, preferred_element_type=jnp.float32
+        )[None, None]
+    else:
+        xp = jnp.pad(
+            x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0))
+        )
+        rows = []
+        for i in range(kh):
+            row = []
+            for j in range(kw):
+                xs = jax.lax.slice(xp, (0, i, j, 0), (b, i + h, j + w, cf))
+                row.append(
+                    jnp.einsum(
+                        "bhwi,bhwo->io", xs, g,
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            rows.append(jnp.stack(row, 0))
+        dkf = jnp.stack(rows, 0)
+    if fold > 1:
+        _, vjpk = jax.vjp(lambda kk: _fold_conv_kernel(kk, (cin,), fold), kernel)
+        (dk,) = vjpk(dkf.astype(kernel.dtype))
+    else:
+        dk = dkf.astype(kernel.dtype)
+    return dx, dk
+
+
+_conv_same_taps.defvjp(_cst_fwd, _cst_bwd)
+
+
 def _unfold_bwd_enabled() -> bool:
     """Whether folded SAME/stride-1 convs compute their backward in the
     UNFOLDED domain (exact: the width-fold is a bitcast reshape in NHWC
@@ -226,10 +313,9 @@ class _ConvParams(nn.Module):
         if isinstance(pad, int):
             pad = [(pad, pad), (pad, pad)]
 
-        unfold_bwd = (
-            self.fold > 1 and self.strides == 1 and pad == "SAME"
-            and _unfold_bwd_enabled()
-        )
+        same_s1 = self.strides == 1 and pad == "SAME"
+        unfold_bwd = self.fold > 1 and same_s1 and _unfold_bwd_enabled()
+        taps_bwd = same_s1 and ks % 2 == 1 and _taps_wgrad_enabled()
         y = None
         start = 0
         for part in parts:
@@ -238,6 +324,8 @@ class _ConvParams(nn.Module):
             start += cs
             if unfold_bwd:
                 yi = _folded_conv_same(part.astype(dtype), k, self.fold)
+            elif taps_bwd:
+                yi = _conv_same_taps(part.astype(dtype), k, self.fold)
             else:
                 if self.fold > 1:
                     k = _fold_conv_kernel(k, (cs,), self.fold)
@@ -320,6 +408,10 @@ class _DenseParams(nn.Module):
             # masked selects (profiled ~0.8ms each), the conv path doesn't
             if _unfold_bwd_enabled():
                 y = _folded_conv_same(
+                    x.astype(dtype), kernel[None, None], self.fold
+                )
+            elif _taps_wgrad_enabled():
+                y = _conv_same_taps(
                     x.astype(dtype), kernel[None, None], self.fold
                 )
             else:
@@ -724,6 +816,102 @@ class LayerNorm(nn.Module):
         return y + bias_f
 
 
+def _gn_coeffs_primal(x, scale, bias, groups, eps, fold):
+    """Per-(batch, folded-channel) GroupNorm affine coefficients (a, bb) so
+    that normalise+scale+bias == x*a + bb. fp32 stats (torch semantics,
+    uncentered variance); fold > 1 pools both folded copies of a channel.
+    Returns ((a, bb), (s_c, sq_c)) — the per-channel sums are stashed as
+    custom-vjp residuals (tiny (b, c) tensors) so the backward never
+    re-reduces the activation."""
+    b, h, w, cf = x.shape
+    c = cf // fold
+    xf = x.astype(jnp.float32)
+    s_c = xf.sum(axis=(1, 2))
+    sq_c = (xf * xf).sum(axis=(1, 2))
+    if fold > 1:
+        s_c = s_c.reshape(b, fold, c).sum(1)
+        sq_c = sq_c.reshape(b, fold, c).sum(1)
+    cnt = h * w * fold * (c // groups)
+    s_g = s_c.reshape(b, groups, -1).sum(-1)
+    sq_g = sq_c.reshape(b, groups, -1).sum(-1)
+    mean_g = s_g / cnt
+    var_g = sq_g / cnt - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(mean_g, c // groups, axis=1)
+    inv_c = jnp.repeat(inv_g, c // groups, axis=1)
+    a = inv_c * scale[None, :]
+    bb = bias[None, :] - mean_c * a
+    if fold > 1:
+        a = jnp.tile(a, (1, fold))
+        bb = jnp.tile(bb, (1, fold))
+    return (a, bb), (s_c, sq_c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _gn_coeffs(x, scale, bias, groups, eps, fold):
+    """GroupNorm affine coefficients with an analytic backward. Autodiff of
+    the stats reduces materialises fp32 activation-sized cotangent chains
+    (at crop 512 each is a 201 MB tensor); the analytic dx is the closed
+    form dx = ds_c + 2*x*dsq_c — one bf16 read of x, one bf16 write of dx,
+    everything else (b, c)-sized fp32."""
+    return _gn_coeffs_primal(x, scale, bias, groups, eps, fold)[0]
+
+
+def _gnc_fwd(x, scale, bias, groups, eps, fold):
+    (a, bb), (s_c, sq_c) = _gn_coeffs_primal(x, scale, bias, groups, eps, fold)
+    return (a, bb), (x, scale, s_c, sq_c)
+
+
+def _gnc_bwd(groups, eps, fold, res, g):
+    x, scale, s_c, sq_c = res
+    da, dbb = g  # (b, cf) f32
+    b, h, w, cf = x.shape
+    c = cf // fold
+    if fold > 1:
+        da = da.reshape(b, fold, c).sum(1)
+        dbb = dbb.reshape(b, fold, c).sum(1)
+    cnt = h * w * fold * (c // groups)
+    s_g = s_c.reshape(b, groups, -1).sum(-1)
+    sq_g = sq_c.reshape(b, groups, -1).sum(-1)
+    mean_g = s_g / cnt
+    var_g = sq_g / cnt - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.repeat(mean_g, c // groups, axis=1)
+    inv_c = jnp.repeat(inv_g, c // groups, axis=1)
+    # parameter grads:  a = inv_c*scale,  bb = bias - mean_c*inv_c*scale
+    dscale = (inv_c * da - mean_c * inv_c * dbb).sum(0)
+    dbias = dbb.sum(0)
+    # chain to the stats:  d(inv_c), d(mean_c) -> group sums -> s, sq
+    p_c = scale[None, :] * (da - mean_c * dbb)  # d inv_c
+    q_c = -inv_c * scale[None, :] * dbb         # d mean_c
+    dinv_g = p_c.reshape(b, groups, -1).sum(-1)
+    dmean_g = q_c.reshape(b, groups, -1).sum(-1)
+    dvar_g = -0.5 * inv_g**3 * dinv_g
+    dmean_g = dmean_g - 2.0 * mean_g * dvar_g
+    dsq_g = dvar_g / cnt
+    ds_g = dmean_g / cnt
+    ds_c = jnp.repeat(ds_g, c // groups, axis=1)
+    dsq_c = jnp.repeat(dsq_g, c // groups, axis=1)
+    if fold > 1:
+        ds_c = jnp.tile(ds_c, (1, fold))
+        dsq_c = jnp.tile(dsq_c, (1, fold))
+    dt = x.dtype
+    dx = (
+        x * (2.0 * dsq_c)[:, None, None, :].astype(dt)
+        + ds_c[:, None, None, :].astype(dt)
+    )
+    return dx, dscale, dbias
+
+
+_gn_coeffs.defvjp(_gnc_fwd, _gnc_bwd)
+
+
+def _gn_analytic_bwd_enabled() -> bool:
+    """Whether GroupNorm stats use the analytic custom backward above
+    (default on; NOISEDIFF_GN_BWD=xla restores plain autodiff)."""
+    return os.environ.get("NOISEDIFF_GN_BWD", "") != "xla"
+
+
 class _GNParams(nn.Module):
     """GroupNorm parameter holder + both execution paths.
 
@@ -749,27 +937,17 @@ class _GNParams(nn.Module):
         bias = self.param("bias", jax.nn.initializers.zeros, (c,), jnp.float32)
 
         if self.fold > 1:
-            # scale_shift (if any) arrives already folded from the caller
-            xf = x.astype(jnp.float32)
-            s_c = xf.sum(axis=(1, 2)).reshape(b, self.fold, c).sum(1)  # (b, c)
-            sq_c = (xf * xf).sum(axis=(1, 2)).reshape(b, self.fold, c).sum(1)
-            cnt = h * (w * self.fold) * (c // self.groups)
-            s_g = s_c.reshape(b, self.groups, -1).sum(-1)
-            sq_g = sq_c.reshape(b, self.groups, -1).sum(-1)
-            mean_g = s_g / cnt
-            var_g = sq_g / cnt - mean_g * mean_g
-            inv_g = jax.lax.rsqrt(var_g + self.eps)
-            mean_c = jnp.repeat(mean_g, c // self.groups, axis=1)
-            inv_c = jnp.repeat(inv_g, c // self.groups, axis=1)
-            scale_f = jnp.tile(scale, self.fold)[None, :]
-            bias_f = jnp.tile(bias, self.fold)[None, :]
-            # fold the normalisation into one per-(batch,channel) affine
+            # scale_shift (if any) arrives already folded from the caller.
+            # The normalisation folds into one per-(batch,channel) affine
             # y = x*a + bb applied in the model dtype: materialising the
             # f32 normalised activation costs 2x HBM traffic (profiled)
-            a = (jnp.tile(inv_c, (1, self.fold)) * scale_f)[:, None, None, :]
-            bb = (bias_f - jnp.tile(mean_c * inv_c, (1, self.fold)) * scale_f)[
-                :, None, None, :
-            ]
+            if _gn_analytic_bwd_enabled():
+                a, bb = _gn_coeffs(x, scale, bias, self.groups, self.eps,
+                                   self.fold)
+            else:
+                a, bb = _gn_coeffs_primal(x, scale, bias, self.groups,
+                                          self.eps, self.fold)[0]
+            a, bb = a[:, None, None, :], bb[:, None, None, :]
             y = x * a.astype(x.dtype) + bb.astype(x.dtype)
             if scale_shift is not None:
                 s, sh = scale_shift
@@ -796,20 +974,13 @@ class _GNParams(nn.Module):
         # variance is the uncentered E[x^2]-mean^2 form; in fp32 at
         # activation magnitudes this differs from the centered form by
         # ~1e-6 relative, far below bf16 output rounding.
-        xf = x.astype(jnp.float32)
-        s_c = xf.sum(axis=(1, 2))  # (b, c)
-        sq_c = (xf * xf).sum(axis=(1, 2))
-        cnt = h * w * (c // self.groups)
-        s_g = s_c.reshape(b, self.groups, -1).sum(-1)  # (b, g)
-        sq_g = sq_c.reshape(b, self.groups, -1).sum(-1)
-        mean_g = s_g / cnt
-        var_g = sq_g / cnt - mean_g * mean_g
-        inv_g = jax.lax.rsqrt(var_g + self.eps)
-        mean_c = jnp.repeat(mean_g, c // self.groups, axis=1)
-        inv_c = jnp.repeat(inv_g, c // self.groups, axis=1)
-        # one per-(batch,channel) affine in the model dtype (see fold path)
-        a = (inv_c * scale[None, :])[:, None, None, :]
-        bb = (bias[None, :] - mean_c * inv_c * scale[None, :])[:, None, None, :]
+        # One per-(batch,channel) affine in the model dtype; the stats get
+        # an analytic custom backward (see _gn_coeffs).
+        if _gn_analytic_bwd_enabled():
+            a, bb = _gn_coeffs(x, scale, bias, self.groups, self.eps, 1)
+        else:
+            a, bb = _gn_coeffs_primal(x, scale, bias, self.groups, self.eps, 1)[0]
+        a, bb = a[:, None, None, :], bb[:, None, None, :]
         y = x * a.astype(x.dtype) + bb.astype(x.dtype)
         if scale_shift is not None:
             s, sh = scale_shift

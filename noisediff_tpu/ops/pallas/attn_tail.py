@@ -106,6 +106,41 @@ def _tile_chain(x, tokb, lns, lnb, mavg_f32, w1, b1, w2, b2, wp, bp, eps):
     return out.astype(dt) + x
 
 
+def _tile_chain_hbm(x, tokb, lns, lnb, mavg_f32, w1, b1, w2, b2, wp, bp, eps):
+    """_tile_chain for the XLA recompute backward: identical math, but every
+    (m, cf) intermediate MATERIALIZES in the model dtype. Inside the Pallas
+    kernel the f32 intermediates are VMEM-resident (free); under jax.vjp
+    they and their cotangents live in HBM — at crop 512 each is a 201 MB
+    f32 tensor, and XLA's HLO-remat then re-streams them (profiled: the
+    three full-res attn tails cost ~11 ms/step each in backward). Matmul
+    accumulation stays f32 (preferred_element_type + immediate cast: XLA
+    fuses the convert into the dot consumer, so only the bf16 result hits
+    HBM); fp32 mode is unchanged via _tile_chain."""
+    dt = x.dtype
+    if dt != jnp.bfloat16:
+        return _tile_chain(x, tokb, lns, lnb, mavg_f32, w1, b1, w2, b2, wp,
+                           bp, eps)
+
+    def dot(a, bb):
+        return jax.lax.dot_general(
+            a, bb, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    mavg = mavg_f32.astype(dt)
+    tok2 = x + tokb.astype(dt)
+    mean = dot(tok2, mavg)
+    d = (tok2.astype(jnp.float32) - mean).astype(dt)
+    var = dot(d * d, mavg)
+    n = (d.astype(jnp.float32) * jax.lax.rsqrt(var + eps)).astype(dt)
+    n = n * lns[0].astype(dt) + lnb[0].astype(dt)
+    h = _gelu((dot(n, w1.astype(dt)) + b1[0]).astype(dt))
+    f = (dot(h, w2.astype(dt)) + b2[0]).astype(dt)
+    t2 = f + tok2
+    out = (dot(t2, wp.astype(dt)) + bp[0]).astype(dt)
+    return out + x
+
+
 def _kernel(x_ref, tok_ref, lns_ref, lnb_ref, mavg_ref, w1_ref, b1_ref,
             w2_ref, b2_ref, wp_ref, bp_ref, o_ref, *, eps):
     # x block: (R, W, B, cf) — the array is fed (H, W, B, C)-transposed so
@@ -382,8 +417,8 @@ def _xla_bwd_2d(x, tok, ln_scale, ln_bias, w1, b1, w2, b2, wp, bp, g, fold,
 
     def f(x2, tok, lns, lnb, w1f, b1f, w2f, b2f, wpf, bpf):
         tokb = jnp.broadcast_to(tok[None], (h * w_, b_, cf)).reshape(m, cf)
-        return _tile_chain(x2, tokb, lns, lnb, mavg, w1f, b1f, w2f, b2f,
-                           wpf, bpf, eps)
+        return _tile_chain_hbm(x2, tokb, lns, lnb, mavg, w1f, b1f, w2f,
+                               b2f, wpf, bpf, eps)
 
     out, vjp = jax.vjp(f, x2, tok, lns, lnb, w1f, b1f, w2f, b2f, wpf, bpf)
     dx2, dtok, dlns, dlnb, dw1, db1, dw2, db2, dwp, dbp = vjp(

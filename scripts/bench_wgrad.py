@@ -117,6 +117,50 @@ def main():
     def f_custom(x, kk):
         return folded_conv(x, kk, 2)
 
+    @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+    def taps_conv(x, kernel, fold):
+        kf = _fold_conv_kernel(kernel, (kernel.shape[2],), fold)
+        return conv(x, kf.astype(x.dtype))
+
+    def _taps_fwd(x, kernel, fold):
+        return taps_conv(x, kernel, fold), (x, kernel)
+
+    def _taps_bwd(fold, res, g):
+        # wgrad as 9 tall-skinny matmuls (one per kernel tap) instead of
+        # XLA's padded-window wgrad conv; dgrad stays a plain conv; the
+        # fold-selector transpose applies to the tiny folded kernel grad
+        x, kernel = res
+        cin = kernel.shape[2]
+        kf = _fold_conv_kernel(kernel, (cin,), fold)
+        kT = jnp.flip(kf, (0, 1)).swapaxes(2, 3)
+        dx = conv(g, kT.astype(g.dtype))
+        b, h, w, cf = x.shape
+        kh, kw = kf.shape[0], kf.shape[1]
+        xp = jnp.pad(x, ((0, 0), (kh // 2, kh // 2), (kw // 2, kw // 2), (0, 0)))
+        rows = []
+        for i in range(kh):
+            row = []
+            for j in range(kw):
+                xs = jax.lax.slice(xp, (0, i, j, 0), (b, i + h, j + w, cf))
+                row.append(
+                    jnp.einsum(
+                        "bhwi,bhwo->io", xs, g,
+                        preferred_element_type=jnp.float32,
+                    )
+                )
+            rows.append(jnp.stack(row, 0))
+        dkf = jnp.stack(rows, 0)
+        _, vjpk = jax.vjp(
+            lambda kk: _fold_conv_kernel(kk, (cin,), fold), kernel
+        )
+        (dk,) = vjpk(dkf.astype(kernel.dtype))
+        return dx, dk
+
+    taps_conv.defvjp(_taps_fwd, _taps_bwd)
+
+    def f_taps(x, kk):
+        return taps_conv(x, kk, 2)
+
     def f_kbarrier(x, kk):
         # barrier the FOLDED kernel: autodiff then computes the folded-domain
         # wgrad as a plain conv and applies the fold-selector transpose to the
@@ -133,7 +177,11 @@ def main():
     # tests/test_lane_fold.py::test_folded_conv_unfold_bwd_parity
     dxf, dkf = jax.jit(grad_step(f_folded))(xf, k)
     dxc, dkc = jax.jit(grad_step(f_custom))(xf, k)
-    for a, b, tag in ((dkc, dkf, "dk"), (dxc, dxf, "dx")):
+    dxt, dkt = jax.jit(grad_step(f_taps))(xf, k)
+    for a, b, tag in (
+        (dkc, dkf, "dk"), (dxc, dxf, "dx"),
+        (dkt, dkf, "dk-taps"), (dxt, dxf, "dx-taps"),
+    ):
         a = np.asarray(a, np.float32).ravel()
         b = np.asarray(b, np.float32).ravel()
         rel = np.abs(a - b) / (np.abs(b).mean() + 1e-9)
@@ -145,6 +193,7 @@ def main():
         ("unfolded-autodiff  ", f_unfolded, xu),
         ("custom-unfold-bwd  ", f_custom, xf),
         ("folded-kernel-bar  ", f_kbarrier, xf),
+        ("per-tap-einsum-bwd ", f_taps, xf),
     ):
         t = timed_scan_delta(grad_step(fn), x, k)
         print(f"{name}: {t * 1e3:.3f} ms/grad-eval", flush=True)

@@ -151,3 +151,60 @@ def test_noisediffnet_unfold_bwd_grad_parity(monkeypatch):
     g1 = jax.grad(loss)(params)
     for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(a, b_, rtol=2e-4, atol=2e-4)
+
+
+def test_conv_same_taps_parity():
+    """NOISEDIFF_TAPS_WGRAD routes SAME/stride-1 convs through a custom_vjp
+    whose wgrad is one einsum per kernel tap (dgrad: transposed conv).
+    Forward and both gradients must match autodiff, folded and unfolded,
+    including the 1x1 (folded Dense) case."""
+    from noisediff_tpu.models.blocks import _conv_same_taps
+
+    rng = np.random.default_rng(0)
+    for fold, ks, cin, cout in ((2, 3, 12, 20), (1, 3, 8, 8), (2, 1, 6, 10)):
+        x = jnp.asarray(
+            rng.normal(size=(2, 16, 12, cin * fold)).astype(np.float32)
+        )
+        k = jnp.asarray(rng.normal(size=(ks, ks, cin, cout)).astype(np.float32))
+        g = jnp.asarray(
+            rng.normal(size=(2, 16, 12, cout * fold)).astype(np.float32)
+        )
+
+        def ref(xx, kk):
+            kf = _fold_conv_kernel(kk, (cin,), fold) if fold > 1 else kk
+            return jax.lax.conv_general_dilated(
+                xx, kf, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+
+        y1, vjp1 = jax.vjp(lambda xx, kk: _conv_same_taps(xx, kk, fold), x, k)
+        y2, vjp2 = jax.vjp(ref, x, k)
+        np.testing.assert_allclose(y1, y2, atol=1e-5)
+        (dx1, dk1), (dx2, dk2) = vjp1(g), vjp2(g)
+        np.testing.assert_allclose(dx1, dx2, atol=1e-4)
+        np.testing.assert_allclose(dk1, dk2, rtol=1e-5, atol=1e-3)
+
+
+def test_noisediffnet_taps_wgrad_grad_parity(monkeypatch):
+    """Whole-model gradients with NOISEDIFF_TAPS_WGRAD on must match the
+    flag-off path (fp reassociation tolerance only)."""
+    monkeypatch.setenv("NOISEDIFF_TAPS_WGRAD", "0")
+    b, s = 1, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, s, s, 4))
+    t = jnp.array([5])
+    cond = {
+        "clean_img": jax.random.uniform(jax.random.PRNGKey(1), (b, s, s, 4)),
+        "position": jax.random.uniform(jax.random.PRNGKey(2), (b, s, s, 2)),
+        "iso_ratio_idx": jnp.array([3]),
+    }
+    m = NoiseDiffNet(dim=8, pos_dim=4, lane_fold=True)
+    params = m.init(jax.random.PRNGKey(3), x, t, cond)["params"]
+
+    def loss(p):
+        return jnp.sum(m.apply({"params": p}, x, t, cond) ** 2)
+
+    g0 = jax.grad(loss)(params)
+    monkeypatch.setenv("NOISEDIFF_TAPS_WGRAD", "1")
+    g1 = jax.grad(loss)(params)
+    for a, b_ in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(a, b_, rtol=2e-4, atol=2e-4)
