@@ -130,6 +130,50 @@ def _fold_conv_kernel(
     return jnp.concatenate(parts, axis=2)
 
 
+def _int8_enabled() -> bool:
+    """Opt-in w8a8 quantized INFERENCE for the wide convs
+    (NOISEDIFF_INT8=1). TPU v5e's MXU runs int8 at ~2x the bf16 rate
+    (394 Tops/s vs 197 TFLOP/s peak; measured 332 Tops/s on a dense
+    matmul, 1.38x end-to-end on the hot folded conv incl. the
+    dequant/requant epilogue — scripts/bench_int8.py). Weights take
+    per-output-channel symmetric scales, activations a dynamic per-tensor
+    scale; accumulation is int32, dequant in f32, output cast back to the
+    model dtype so the dtype contract is flag-independent.
+
+    Inference-only: round/clip has zero gradient a.e., so the trainers
+    refuse to start with this flag set. Quality is gated the same way the
+    pipeline itself is — the learning-gate KLD protocol re-run with int8
+    generation (BENCH_NOTES)."""
+    return os.environ.get("NOISEDIFF_INT8", "0") == "1"
+
+
+# convs with fewer unfolded in/out channels than this keep bf16: the 4/8
+# channel heads and init_conv are bandwidth-bound (quantizing them saves
+# nothing) and head precision matters most for sample statistics
+_INT8_MIN_CHANNELS = 16
+
+
+def _quantized_conv(x, kf, strides, pad, out_dtype):
+    """w8a8 conv: x (NHWC, any float dtype), kf the (possibly folded) f32
+    HWIO kernel. Returns the conv result in out_dtype."""
+    sw = jnp.maximum(
+        jnp.max(jnp.abs(kf), axis=(0, 1, 2)) / 127.0, 1e-12
+    )  # (cout,) per-output-channel symmetric weight scale
+    kq = jnp.clip(jnp.round(kf / sw), -127, 127).astype(jnp.int8)
+    sx = jnp.maximum(
+        jnp.max(jnp.abs(x)).astype(jnp.float32) / 127.0, 1e-12
+    )  # dynamic per-tensor activation scale
+    xq = jnp.clip(
+        jnp.round(x.astype(jnp.float32) * (1.0 / sx)), -127, 127
+    ).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, kq, strides, pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    return (y.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
+
+
 def _taps_wgrad_enabled() -> bool:
     """Whether stride-1 SAME convs compute their weight gradient as one
     tall-skinny matmul per kernel tap (kh*kw einsums of [B*H*W, Cin] x
@@ -316,6 +360,12 @@ class _ConvParams(nn.Module):
         same_s1 = self.strides == 1 and pad == "SAME"
         unfold_bwd = self.fold > 1 and same_s1 and _unfold_bwd_enabled()
         taps_bwd = same_s1 and ks % 2 == 1 and _taps_wgrad_enabled()
+        int8 = (
+            _int8_enabled()
+            and not (unfold_bwd or taps_bwd)
+            and self.in_features >= _INT8_MIN_CHANNELS
+            and self.features >= _INT8_MIN_CHANNELS
+        )
         y = None
         start = 0
         for part in parts:
@@ -329,11 +379,17 @@ class _ConvParams(nn.Module):
             else:
                 if self.fold > 1:
                     k = _fold_conv_kernel(k, (cs,), self.fold)
-                yi = jax.lax.conv_general_dilated(
-                    part.astype(dtype), k.astype(dtype),
-                    (self.strides, self.strides), pad,
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
+                if int8:
+                    yi = _quantized_conv(
+                        part.astype(dtype), k,
+                        (self.strides, self.strides), pad, dtype,
+                    )
+                else:
+                    yi = jax.lax.conv_general_dilated(
+                        part.astype(dtype), k.astype(dtype),
+                        (self.strides, self.strides), pad,
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    )
             y = yi if y is None else y + yi
         assert start == self.in_features, (start, self.in_features)
         if bias is not None:
@@ -418,10 +474,19 @@ class _DenseParams(nn.Module):
                 k = _fold_conv_kernel(
                     kernel[None, None], (self.in_features,), self.fold
                 )
-                y = jax.lax.conv_general_dilated(
-                    x.astype(dtype), k.astype(dtype), (1, 1), "SAME",
-                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
-                )
+                if (
+                    _int8_enabled()
+                    and self.in_features >= _INT8_MIN_CHANNELS
+                    and self.features >= _INT8_MIN_CHANNELS
+                ):
+                    y = _quantized_conv(
+                        x.astype(dtype), k, (1, 1), "SAME", dtype
+                    )
+                else:
+                    y = jax.lax.conv_general_dilated(
+                        x.astype(dtype), k.astype(dtype), (1, 1), "SAME",
+                        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    )
             if bias is not None:
                 y = y + jnp.tile(bias, self.fold).astype(dtype)
             return y

@@ -54,6 +54,11 @@ def _param_count(params) -> float:
 
 class Trainer:
     def __init__(self, args):
+        if args.phase == "train" and os.environ.get("NOISEDIFF_INT8") == "1":
+            raise RuntimeError(
+                "NOISEDIFF_INT8 is inference-only (round/clip has zero "
+                "gradient a.e.); unset it to train."
+            )
         self.args = args
         self.paths = paths_from_args(args)
         self.rank = getattr(args, "rank", -1)

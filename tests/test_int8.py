@@ -1,0 +1,97 @@
+"""w8a8 quantized-inference path (NOISEDIFF_INT8=1, blocks._quantized_conv).
+
+Three contracts:
+  1. arithmetic exactness: the int8 conv equals the same quantize /
+     int32-accumulate / dequantize math emulated in f32 (the MXU int8 path
+     must not change the defined numerics);
+  2. model closeness + dtype contract: flag on vs off on a small
+     NoiseDiffNet stays within the expected quantization error and keeps
+     the output dtype flag-independent (the ADVICE round-1 lesson);
+  3. the trainers refuse to start with the flag set (inference-only).
+"""
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from noisediff_tpu.models import NoiseDiffNet
+from noisediff_tpu.models.blocks import _quantized_conv
+
+
+def _emulated(x, kf, strides, pad):
+    """The quantization math in plain f32 (no int8 dtypes)."""
+    sw = np.maximum(np.max(np.abs(kf), axis=(0, 1, 2)) / 127.0, 1e-12)
+    kq = np.clip(np.round(kf / sw), -127, 127)
+    sx = max(float(np.max(np.abs(x))) / 127.0, 1e-12)
+    xq = np.clip(np.round(np.asarray(x, np.float32) / sx), -127, 127)
+    y = jax.lax.conv_general_dilated(
+        jnp.asarray(xq), jnp.asarray(kq, jnp.float32), strides, pad,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return np.asarray(y) * (sx * sw)
+
+
+@pytest.mark.parametrize("strides,pad", [((1, 1), "SAME"), ((2, 2), "SAME")])
+def test_quantized_conv_matches_emulated_math(strides, pad):
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(2, 16, 16, 24)).astype(np.float32)
+    k = rng.normal(size=(3, 3, 24, 32)).astype(np.float32) * 0.1
+    got = np.asarray(
+        _quantized_conv(jnp.asarray(x), jnp.asarray(k), strides, pad,
+                        jnp.float32)
+    )
+    want = _emulated(x, k, strides, pad)
+    # both paths compute identical integers; the only slack is the f32
+    # dequant multiply order
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def _small_model_io(dtype):
+    model = NoiseDiffNet(dim=32, dtype=dtype, lane_fold=2)
+    b, s = 2, 32
+    rng = jax.random.PRNGKey(0)
+    x = jax.random.normal(rng, (b, s, s, 4), jnp.float32)
+    t = jnp.array([5, 9], jnp.int32)
+    cond = {
+        "clean_img": jax.random.uniform(jax.random.PRNGKey(1), (b, s, s, 4)),
+        "position": jax.random.uniform(jax.random.PRNGKey(2), (b, s, s, 2)),
+        "iso_ratio_idx": jnp.array([3, 7], jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(3), x, t, cond)["params"]
+    return model, params, (x, t, cond)
+
+
+def test_model_int8_close_and_dtype_contract(monkeypatch):
+    model, params, (x, t, cond) = _small_model_io(jnp.bfloat16)
+    y_ref = model.apply({"params": params}, x, t, cond)
+    monkeypatch.setenv("NOISEDIFF_INT8", "1")
+    y_q = model.apply({"params": params}, x, t, cond)
+    assert y_q.dtype == y_ref.dtype
+    assert y_q.shape == y_ref.shape
+    a = np.asarray(y_ref, np.float32)
+    b = np.asarray(y_q, np.float32)
+    rel = np.sqrt(np.mean((a - b) ** 2)) / (np.sqrt(np.mean(a**2)) + 1e-12)
+    # dim-32 model, bf16 baseline: measured ~2-4% relative RMS; the gate
+    # below is a regression bound, the statistical quality gate is the
+    # learning-gate KLD re-run (BENCH_NOTES)
+    assert rel < 0.15, rel
+    # and the flag must actually change the lowering (paths distinct)
+    assert not np.allclose(a, b)
+
+
+def test_trainers_refuse_int8(monkeypatch, tmp_path):
+    monkeypatch.setenv("NOISEDIFF_INT8", "1")
+    from noisediff_tpu.train.trainer_diffusion import Trainer as TD
+
+    class A:
+        phase = "train"
+
+    with pytest.raises(RuntimeError, match="inference-only"):
+        TD(A())
+
+    from noisediff_tpu.train.trainer_denoising import Trainer as TN
+
+    with pytest.raises(RuntimeError, match="inference-only"):
+        TN(A())
