@@ -77,14 +77,20 @@ def unfold_width(x: jnp.ndarray, fold: int = 2) -> jnp.ndarray:
 def _fold_selector(kw: int, fold: int) -> "np.ndarray":
     """Constant selection tensor P (kw, kw_f, fold_in, fold_out) with
     P[q, dj, bin, bout] = 1 iff original tap q maps to folded block-column
-    dj for input phase bin / output phase bout."""
+    dj for input phase bin / output phase bout.
+
+    Derivation (any fold): original input col fold*j + bin feeds output col
+    fold*i + bout through tap q iff fold*(j - i) = q - p - bin + bout, so
+    the folded column offset dj = (q - p - bin + bout) / fold whenever that
+    is integral. SAME zero-padding in the folded domain lands on exactly
+    the original out-of-range columns, so folded SAME == original SAME."""
     p = (kw - 1) // 2
     djs = [
-        (q - p - bi + bo) // 2
+        (q - p - bi + bo) // fold
         for q in range(kw)
         for bi in range(fold)
         for bo in range(fold)
-        if (q - p - bi + bo) % 2 == 0
+        if (q - p - bi + bo) % fold == 0
     ]
     dj_min, dj_max = min(djs), max(djs)
     kw_f = dj_max - dj_min + 1
@@ -94,8 +100,8 @@ def _fold_selector(kw: int, fold: int) -> "np.ndarray":
         for bi in range(fold):
             for bo in range(fold):
                 num = q - p - bi + bo
-                if num % 2 == 0:
-                    P[q, num // 2 - dj_min, bi, bo] = 1.0
+                if num % fold == 0:
+                    P[q, num // fold - dj_min, bi, bo] = 1.0
     return P
 
 
@@ -115,7 +121,6 @@ def _fold_conv_kernel(
     .at[].set scatter formulation here makes XLA lower the conv into
     activation-sized masked selects (profiled ~1ms each)."""
     kh, kw, cin, cout = w.shape
-    assert fold == 2, "only fold=2 implemented"
     assert sum(in_segments) == cin, (in_segments, cin)
     assert kw % 2 == 1, "folded conv requires odd kernel width"
     P = jnp.asarray(_fold_selector(kw, fold))  # (kw, kw_f, fold, fold)
