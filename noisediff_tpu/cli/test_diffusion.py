@@ -74,6 +74,11 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    # generation is inference-only: enable the packed strided-conv dual
+    # heads (exact; ~5% per-eval win — BENCH_NOTES). The trainers leave
+    # this off because the packed kernel's wgrad is pathological.
+    # Users can force it off with NOISEDIFF_PACKED_HEADS=0.
+    os.environ.setdefault("NOISEDIFF_PACKED_HEADS", "1")
     args = build_parser().parse_args(argv)
     set_random_seed(args.random_seed)
     init_distributed(args)

@@ -135,6 +135,40 @@ def _fold_conv_kernel(
     return jnp.concatenate(parts, axis=2)
 
 
+def packed_narrow_conv(x, kernel, bias, fold):
+    """1x1 conv with FEW output channels on a width-folded map, as a
+    P-pixel-packed strided conv.
+
+    x: (b, h, wf, fold*cin); kernel: (cin, cout) unfolded; returns the
+    folded output (b, h, wf, fold*cout) as a bitcast reshape of the conv
+    result. A direct folded conv's (.., fold*cout)-channel output pads
+    fold*cout -> 128 lanes in HBM (~16x the logical write traffic at
+    cout=4) and underfills the conv emitter. Packing P folded pixels per
+    output position keeps every buffer densely tiled; expressing the
+    packing as a (kh=1, kw=P, stride=P) conv whose tap p writes
+    output-channel block p stays inside the conv emitter's layout world
+    (a reshape-then-1x1 formulation measured ~1.7 ms of induced relayout
+    copies at the LSID full frame — BENCH_NOTES). Caller gates on
+    wf % 2 == 0."""
+    b, h, wf, cf = x.shape
+    cout = kernel.shape[-1]
+    P = max(p for p in (16, 8, 4, 2) if wf % p == 0)
+    kf = _fold_conv_kernel(kernel[None, None], (kernel.shape[0],), fold)[0, 0]
+    co_f = fold * cout
+    # taps (1, P, cf, P*co_f): tap p -> output channel block p (dense einsum
+    # with a constant selector; an .at[].set scatter here would trigger
+    # XLA's masked-select rewrite)
+    eye = jnp.eye(P, dtype=kf.dtype)
+    taps = jnp.einsum("pq,io->piqo", eye, kf).reshape(1, P, cf, P * co_f)
+    y = jax.lax.conv_general_dilated(
+        x, taps.astype(x.dtype), (1, P), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        y = y + jnp.tile(bias, P * fold).astype(x.dtype)
+    return y.reshape(b, h, wf, co_f)
+
+
 def _int8_enabled() -> bool:
     """Opt-in w8a8 quantized INFERENCE for the wide convs
     (NOISEDIFF_INT8=1). TPU v5e's MXU runs int8 at ~2x the bf16 rate

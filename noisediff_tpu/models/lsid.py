@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from .blocks import _ConvParams, _fold_conv_kernel, fold_width, unfold_width
+from .blocks import _ConvParams, fold_width, packed_narrow_conv, unfold_width
 
 
 def _he_fanout_conv(key, shape, dtype):
@@ -158,34 +158,9 @@ class _HeadParams(nn.Module):
 
 
 def _packed_head(x, kernel, bias, fold):
-    """conv10 on a folded map as a P-pixel-packed STRIDED conv.
-
-    x: (b, h, wf, fold*cin); kernel: (1, 1, cin, cout) — returns the folded
-    head output (b, h, wf, fold*cout) as a bitcast reshape of the conv
-    result. The direct folded conv's (.., fold*cout)-channel output pads
-    fold*cout -> 128 lanes in HBM (~16x the logical write traffic at
-    cout=4). Packing P folded pixels per output position makes every
-    buffer densely tiled; expressing the packing as a (kh=1, kw=P,
-    stride=P) conv whose tap p writes output-channel group p keeps the op
-    inside the conv emitter's layout world — the earlier reshape-then-1x1
-    formulation was itself relayout-copied (~1.7 ms at the full frame).
-    """
-    b, h, wf, cf = x.shape
-    cout = bias.shape[0]
-    P = max(p for p in (16, 8, 4, 2) if wf % p == 0)
-    kf = _fold_conv_kernel(kernel, (kernel.shape[2],), fold)[0, 0]  # (cf, fold*cout)
-    co_f = fold * cout
-    # taps (1, P, cf, P*co_f): tap p -> output channel block p (dense einsum
-    # with a constant selector; an .at[].set scatter here would trigger
-    # XLA's masked-select rewrite)
-    eye = jnp.eye(P, dtype=kf.dtype)
-    taps = jnp.einsum("pq,io->piqo", eye, kf).reshape(1, P, cf, P * co_f)
-    y = jax.lax.conv_general_dilated(
-        x, taps.astype(x.dtype), (1, P), "VALID",
-        dimension_numbers=("NHWC", "HWIO", "NHWC"),
-    )
-    y = y + jnp.tile(bias, P * fold).astype(x.dtype)
-    return y.reshape(b, h, wf, co_f)
+    """conv10 on a folded map as a P-pixel-packed STRIDED conv
+    (blocks.packed_narrow_conv; kernel arrives HWIO (1, 1, cin, cout))."""
+    return packed_narrow_conv(x, kernel[0, 0], bias, fold)
 
 
 class LSID(nn.Module):

@@ -178,7 +178,18 @@ class NoiseDiffNet(nn.Module):
         fuse_heads = head_flag == "interpret" or (
             head_flag == "1" and _fused_kernel_ok(shot)
         )
-        if fuse_heads or self.trunk_only:
+        # packed strided-conv heads (NOISEDIFF_PACKED_HEADS=1): keep the
+        # narrow 4-channel head outputs densely tiled by packing P folded
+        # pixels per output position (blocks.packed_narrow_conv — the trick
+        # that fixed the LSID conv10 head). Pure XLA, exact; opt-in.
+        packed_heads = (
+            os.environ.get("NOISEDIFF_PACKED_HEADS", "") == "1"
+            and not fuse_heads
+            and not self.trunk_only
+            and F > 1
+            and shot.shape[2] % 2 == 0
+        )
+        if fuse_heads or self.trunk_only or packed_heads:
             shot_noise = None
         else:
             shot = shot + shot_res
@@ -305,6 +316,24 @@ class NoiseDiffNet(nn.Module):
                                     name="final_conv")()
             return x, shot, shot_res, (w1[0, 0], b1, w2[0, 0], b2, wr[0, 0],
                                        br)
+        if packed_heads:
+            from .blocks import _fold_conv_kernel, packed_narrow_conv
+
+            w1, b1, w2, b2 = _MlpBank(dim, dim, self.channels,
+                                      name="shot_mlp3")()
+            wr, br = _ConvParamBank((1, 1), dim, self.channels,
+                                    name="final_conv")()
+            s = shot + shot_res
+            dt = s.dtype
+            h = jax.lax.conv_general_dilated(
+                s, _fold_conv_kernel(w1, (dim,), F).astype(dt), (1, 1),
+                "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            ) + jnp.tile(b1, F).astype(dt)
+            h = _gelu(h)
+            out = packed_narrow_conv(h, w2[0, 0], b2, F) + packed_narrow_conv(
+                x, wr[0, 0], br, F
+            )
+            return unfold_width(out, F).astype(self.dtype)
         if fuse_heads:
             from ..ops.pallas.dual_head import fused_dual_head
 

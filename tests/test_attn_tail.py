@@ -117,6 +117,33 @@ def test_noisediffnet_fused_paths_match(monkeypatch):
     np.testing.assert_allclose(y_fused, y_xla, rtol=2e-4, atol=2e-4)
 
 
+def test_packed_heads_flag_is_exact(monkeypatch):
+    """NOISEDIFF_PACKED_HEADS=1 (packed strided-conv dual heads,
+    blocks.packed_narrow_conv) matches the default XLA heads with the same
+    params to contraction-reassociation precision (~1e-7 fp32)."""
+    from noisediff_tpu.models import NoiseDiffNet
+
+    b, s = 2, 16
+    model = NoiseDiffNet(dim=8, pos_dim=4, lane_fold=True)
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, s, s, 4))
+    t = jnp.array([3, 9])
+    cond = {
+        "clean_img": jax.random.uniform(jax.random.PRNGKey(1), (b, s, s, 4)),
+        "position": jax.random.uniform(jax.random.PRNGKey(2), (b, s, s, 2)),
+        "iso_ratio_idx": jnp.array([5, 1]),
+    }
+    monkeypatch.delenv("NOISEDIFF_PACKED_HEADS", raising=False)
+    params = model.init(jax.random.PRNGKey(3), x, t, cond)["params"]
+    y0 = model.apply({"params": params}, x, t, cond)
+    monkeypatch.setenv("NOISEDIFF_PACKED_HEADS", "1")
+    params_p = model.init(jax.random.PRNGKey(3), x, t, cond)["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(params_p)
+    y1 = model.apply({"params": params}, x, t, cond)
+    np.testing.assert_allclose(
+        np.asarray(y0), np.asarray(y1), rtol=0, atol=1e-5
+    )
+
+
 def test_fused_heads_flag_falls_back_off_tpu(monkeypatch):
     """NOISEDIFF_FUSED_HEADS=1 on a non-TPU backend must take the XLA path
     (identical output), not invoke Mosaic (review regression guard)."""
