@@ -453,8 +453,45 @@ def main():
         ms = (t8 - t2) / 6 * 1e3
         extras["denoise_fullframe_ms"] = round(ms, 2)
         extras["denoise_fullframe_frames_per_sec"] = round(1e3 / ms, 2)
+        try:
+            # useful-FLOPs MFU from the unfolded lowering (the folded graph
+            # counts structural-zero padding)
+            lsid_u = LSID(dtype=jnp.bfloat16, lane_fold=False)
+            fl = (
+                jax.jit(lambda p, xx: lsid_u.apply({"params": p}, xx))
+                .lower(lp, xf).compile().cost_analysis()["flops"]
+            )
+            extras["denoise_fullframe_mfu"] = round(
+                fl / (ms / 1e3) / TPU_V5E_BF16_PEAK, 4
+            )
+        except Exception:
+            pass
     except Exception as exc:
         extras["denoise_fullframe_error"] = str(exc)[:200]
+
+    ## --- generation at the reference's SHIPPED crop (512^2, script.sh:4) ---
+    try:
+        os.environ["NOISEDIFF_PACKED_HEADS"] = "1"
+        s512, b512 = 512, 8
+        model5, apply5, params5 = build(48, s512, jnp.bfloat16, batch=b512)
+        gd5 = GaussianDiffusion(
+            apply_fn=apply5, schedule=make_schedule("sigmoid2", 1000),
+            image_size=s512, objective="pred_v",
+        )
+        cond5 = make_cond(b512, s512, rng)
+        f5 = model5.effective_fold(s512)
+        sample5 = jax.jit(
+            lambda p, r, c: gd5.ddim_sample(
+                p, r, (b512, s512, s512, 4), c,
+                sampling_timesteps=DDIM_STEPS, fold_io=f5,
+            ).astype(jnp.float32).mean()
+        )
+        t512 = timed_fetch(sample5, params5, rng, cond5, repeats=1)
+        extras["gen512_patches_per_sec"] = round(b512 / t512, 3)
+        extras["gen512_equiv256_patches_per_sec"] = round(4 * b512 / t512, 3)
+        os.environ["NOISEDIFF_PACKED_HEADS"] = "0"
+    except Exception as exc:
+        extras["gen512_error"] = str(exc)[:200]
 
     print(
         json.dumps(

@@ -285,11 +285,10 @@ class LSID(nn.Module):
 
         # conv10 head: the folded 1x1 conv to 4 channels writes a tile-padded
         # (.., fold*4)-lane output — profiled 1.85 ms (0.4 TF/s useful) on the
-        # full frame. At inference scale, pack P folded pixels per row and
-        # apply the block-diagonal kernel as one dense 1x1 conv: all reshapes
-        # are row-major bitcasts, the executed FLOPs are P x a trivial count,
-        # and the I/O is dense. Gated off at training-crop sizes (the BD
-        # kernel's wgrad would hit XLA's masked-select rewrite).
+        # full frame. At inference scale, run it as a P-pixel-packed strided
+        # conv (blocks.packed_narrow_conv) so every buffer stays densely
+        # tiled. Gated off at training-crop sizes (the packed kernel's wgrad
+        # re-tiles pathologically).
         packed = (
             F1 > 1
             and not self.naive_resample

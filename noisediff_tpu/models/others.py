@@ -11,6 +11,7 @@ dim=48 (pinned in tests): 19,702,596 / 19,700,308 / 21,262,164.
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -223,7 +224,23 @@ class PosEmbUNet(nn.Module):
             dim, time_emb_dim=time_dim, groups=self.resnet_block_groups,
             dtype=self.dtype, fold=F, name="final_res_block",
         )((x, r), t)
-        y = Conv(self.channels, 1, dtype=self.dtype, fold=F, name="final_conv")(x)
+        # packed strided-conv head: same inference-only trick as
+        # NoiseDiffNet's dual heads (blocks.packed_narrow_conv; the
+        # generation CLI sets the flag, trainers leave it off)
+        if (
+            os.environ.get("NOISEDIFF_PACKED_HEADS", "") == "1"
+            and F > 1
+            and x.shape[2] % 2 == 0
+        ):
+            from .blocks import _ConvParamBank, packed_narrow_conv
+
+            w, b = _ConvParamBank((1, 1), dim, self.channels,
+                                  name="final_conv")()
+            y = packed_narrow_conv(x.astype(self.dtype or x.dtype),
+                                   w[0, 0], b, F)
+        else:
+            y = Conv(self.channels, 1, dtype=self.dtype, fold=F,
+                     name="final_conv")(x)
         if F > 1:
             y = unfold_width(y, F)
         return y

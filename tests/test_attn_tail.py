@@ -144,6 +144,31 @@ def test_packed_heads_flag_is_exact(monkeypatch):
     )
 
 
+def test_packed_head_posemb_family_is_exact(monkeypatch):
+    """The PosEmbUNet final_conv packed head matches the default path."""
+    from noisediff_tpu.models.others import UNet_PosEmbV2
+
+    model = UNet_PosEmbV2(dim=8).clone(lane_fold=True, pos_dim=4)
+    b, s = 1, 16
+    x = jax.random.normal(jax.random.PRNGKey(0), (b, s, s, 4))
+    t = jnp.array([3])
+    cond = {
+        "clean_img": jax.random.uniform(jax.random.PRNGKey(1), (b, s, s, 4)),
+        "position": jax.random.uniform(jax.random.PRNGKey(2), (b, s, s, 2)),
+        "iso_ratio_idx": jnp.array([5]),
+    }
+    monkeypatch.delenv("NOISEDIFF_PACKED_HEADS", raising=False)
+    params = model.init(jax.random.PRNGKey(3), x, t, cond)["params"]
+    y0 = model.apply({"params": params}, x, t, cond)
+    monkeypatch.setenv("NOISEDIFF_PACKED_HEADS", "1")
+    params_p = model.init(jax.random.PRNGKey(3), x, t, cond)["params"]
+    assert jax.tree.structure(params) == jax.tree.structure(params_p)
+    y1 = model.apply({"params": params}, x, t, cond)
+    np.testing.assert_allclose(
+        np.asarray(y0), np.asarray(y1), rtol=0, atol=1e-5
+    )
+
+
 def test_fused_heads_flag_falls_back_off_tpu(monkeypatch):
     """NOISEDIFF_FUSED_HEADS=1 on a non-TPU backend must take the XLA path
     (identical output), not invoke Mosaic (review regression guard)."""
