@@ -267,6 +267,9 @@ def train_steps_per_sec():
             image_size=s, objective="pred_v",
         )
         opt = make_optimizer()
+        # the train step donates its state, so each measured configuration
+        # needs its own state built from an unshared copy of the params
+        params_copy = jax.tree.map(jnp.array, params)
         state = create_train_state(params, opt, with_ema=True)
         step = make_diffusion_train_step(gd, opt)
         batch = {
@@ -278,6 +281,22 @@ def train_steps_per_sec():
         out["diffusion_train_steps_per_sec"] = round(
             steps_per_sec(step, state, batch), 3
         )
+
+        # same crop at bs=8: the batch-in-sublanes conv emitters want B=8,
+        # so per-SAMPLE training throughput is ~1.75x the shipped bs=4
+        # (measured 12.2 -> 21.3 samples/s). The shipped-envelope metric
+        # above stays bs=4; this records the chip's actual capability.
+        b8 = 8
+        cond8 = make_cond(b8, s, rng)
+        batch8 = {
+            "noise": jax.random.normal(rng, (b8, s, s, 4)) * 0.1,
+            "clean_img": cond8["clean_img"],
+            "coord": cond8["position"],
+            "iso_ratio_idx": cond8["iso_ratio_idx"],
+        }
+        state8 = create_train_state(params_copy, opt, with_ema=True)
+        sps8 = steps_per_sec(step, state8, batch8)
+        out["diffusion_train_samples_per_sec_bs8"] = round(b8 * sps8, 2)
     except Exception as exc:  # keep the headline alive on train-bench failure
         out["diffusion_train_steps_per_sec_error"] = str(exc)[:200]
 
