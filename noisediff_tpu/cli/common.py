@@ -61,6 +61,35 @@ def init_distributed(args) -> None:
         args.dist = jax.process_count() > 1
         args.world_size = jax.process_count()
         args.rank = jax.process_index() if args.dist else -1
+        if args.dist:
+            _warmup_collectives()
+
+
+def _warmup_collectives() -> None:
+    """Establish the cross-process collective context while the ranks are
+    still in lockstep from the jax.distributed rendezvous.
+
+    On the CPU backend XLA's gloo communicator is created lazily at the
+    first collective, and its key-value rendezvous has a short (~30s)
+    timeout; if the first collective sits behind a big model compile, rank
+    compile-time skew (one rank loads an AOT cache hit, another compiles
+    cold) blows that window and the job deadlocks. The communicator is
+    cached per clique process-wide, so one tiny psum here pins it for every
+    later jit. On TPU this is a single cheap ICI all-reduce."""
+    import jax
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.asarray(jax.devices())
+    mesh = Mesh(devs, ("warmup",))
+    local = np.zeros((jax.local_device_count(),), np.float32)
+    x = jax.make_array_from_process_local_data(
+        NamedSharding(mesh, P("warmup")), local
+    )
+    out = jax.jit(
+        lambda a: a.sum(), out_shardings=NamedSharding(mesh, P())
+    )(x)
+    jax.block_until_ready(out)
 
 
 def setup_run_dirs(args, with_logger: bool = True) -> None:

@@ -2,6 +2,7 @@ from .mesh import (
     data_sharding,
     make_mesh,
     param_sharding_rules,
+    put_replicated,
     replicated,
     shard_batch,
 )

@@ -65,6 +65,29 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_replicated(mesh: Mesh, tree):
+    """Place a pytree fully-replicated onto the mesh WITHOUT collectives.
+
+    `jax.device_put(host_value, multi_process_sharding)` runs
+    multihost_utils.assert_equal — one gloo allgather per leaf — to check
+    the processes agree on the value. For a 400-leaf param tree that is
+    hundreds of sequential 30s-timeout-prone collectives, and any compile
+    desync between ranks deadlocks the job (observed: two-process train on
+    a 1-core box). Parameters here are deterministic from a shared seed, so
+    the check buys nothing: build each global array directly from the
+    process-local copy instead (zero communication).
+    """
+    sh = replicated(mesh)
+    multihost = jax.process_count() > 1
+
+    def put(x):
+        if multihost:
+            return jax.make_array_from_process_local_data(sh, np.asarray(x))
+        return jax.device_put(x, sh)
+
+    return jax.tree.map(put, tree)
+
+
 def shard_batch(mesh: Mesh, batch, spatial: bool = False):
     """Place a pytree of host arrays with batch-dim sharding.
 

@@ -33,19 +33,31 @@ def _to_numpy_tree(tree):
     return jax.tree.map(lambda x: np.asarray(x), tree)
 
 
+def _save_npz(path: str, tree: Any) -> None:
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    paths = {jax.tree_util.keystr(k): v for k, v in flat}
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    np.savez(path + ".npz", **paths)
+
+
 def save_component(snapshot_dir: str, name: str, epoch, tree: Any) -> str:
-    """Save one component ('net', 'ema', 'optimizer_G', ...) for `epoch`."""
+    """Save one component ('net', 'ema', 'optimizer_G', ...) for `epoch`.
+
+    In multi-process runs the write goes through the process-local npz path,
+    NOT orbax: the trainers keep the reference's rank-0-only snapshot gating
+    (trainer_diffusion.py:214-218), and orbax's StandardCheckpointer runs
+    multihost barriers (multihost_utils.assert_equal) inside save — calling
+    it from one rank deadlocks the others. The tree is gathered to host
+    first (fully-replicated arrays convert locally, no collective), so a
+    single-rank npz write is safe."""
     path = os.path.abspath(os.path.join(snapshot_dir, f"{name}_{epoch}"))
     tree = _to_numpy_tree(tree)
-    if HAS_ORBAX:
+    if HAS_ORBAX and jax.process_count() == 1:
         ckpt = ocp.StandardCheckpointer()
         ckpt.save(path, tree, force=True)
         ckpt.wait_until_finished()
-    else:  # flat-npz fallback
-        flat, treedef = jax.tree_util.tree_flatten_with_path(tree), None
-        paths = {jax.tree_util.keystr(k): v for k, v in flat[0]}
-        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-        np.savez(path + ".npz", **paths)
+    else:  # flat-npz fallback (also the multi-process rank-0 path, see above)
+        _save_npz(path, tree)
     return path
 
 
@@ -55,6 +67,10 @@ def load_component(path: str, like: Optional[Any] = None) -> Any:
         from .torch_import import load_torch_state_dict
 
         return load_torch_state_dict(path)
+    if os.path.exists(path + ".npz"):
+        # npz snapshots are written by multi-process runs even when orbax is
+        # installed (see save_component) — honour them first
+        return _load_npz(path, like)
     if HAS_ORBAX:
         ckpt = ocp.StandardCheckpointer()
         if like is not None:
@@ -66,8 +82,25 @@ def load_component(path: str, like: Optional[Any] = None) -> Any:
             )
             return ckpt.restore(os.path.abspath(path), target)
         return ckpt.restore(os.path.abspath(path))
-    data = np.load(path + ".npz", allow_pickle=True)
-    return dict(data)
+    return _load_npz(path, like)
+
+
+def _load_npz(path: str, like: Optional[Any] = None) -> Any:
+    """Restore an npz component. With `like`, rebuild the pytree by matching
+    each leaf's keystr path; without, return the flat {keystr: array} dict."""
+    with np.load(path + ".npz", allow_pickle=True) as data:
+        flat = {k: data[k] for k in data.files}
+    if like is None:
+        return flat
+    leaves_like, treedef = jax.tree_util.tree_flatten_with_path(like)
+    leaves = []
+    for k, v in leaves_like:
+        key = jax.tree_util.keystr(k)
+        if key not in flat:
+            raise KeyError(f"snapshot {path}.npz is missing leaf {key}")
+        arr = flat[key]
+        leaves.append(arr.astype(v.dtype) if hasattr(v, "dtype") else arr)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 def component_exists(path: str) -> bool:

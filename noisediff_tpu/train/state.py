@@ -60,7 +60,18 @@ def set_learning_rate(opt_state, lr: float):
     new = jnp.asarray(lr, jnp.float32)
     sharding = getattr(old, "sharding", None)
     if sharding is not None:
-        new = jax.device_put(new, sharding)
+        if jax.process_count() > 1:
+            # device_put(host_scalar, multi-process sharding) runs an
+            # assert_equal allgather every epoch; build the replicated
+            # global array from the local value instead (lr is computed
+            # identically on every rank from the shared epoch counter)
+            import numpy as np
+
+            new = jax.make_array_from_process_local_data(
+                sharding, np.asarray(lr, np.float32)
+            )
+        else:
+            new = jax.device_put(new, sharding)
     opt_state.hyperparams["learning_rate"] = new
     return opt_state
 

@@ -22,7 +22,7 @@ from ..config import data_axis_size, paths_from_args
 from ..data.datasets import DATASETS
 from ..data.loader import DataLoader, create_dataloader
 from ..models import define_network
-from ..parallel import make_mesh, replicated, shard_batch
+from ..parallel import make_mesh, put_replicated, replicated, shard_batch
 from ..utils.logging import ScalarLogger
 from ..utils.profiling import StepTimer
 from . import checkpoint as ckpt
@@ -107,7 +107,8 @@ class Trainer:
                     logging.info("auto-resumed from net_%s", tag)
             elif self.rank <= 0:
                 logging.info("auto-resume: no snapshot found, starting fresh")
-        elif args.resume:
+        elif args.resume and args.resume != ".":
+            # "." = the reference CLIs' no-resume default, not a path
             self.load_networks("net", args.resume)
 
         if self.rank <= 0:
@@ -127,12 +128,12 @@ class Trainer:
                 if getattr(args, "loss_l1", False):
                     logging.info("  using l1 loss...")
             self.optimizer = make_optimizer(getattr(args, "weight_decay", 0.0))
-            params = jax.device_put(self.params, replicated(self.mesh))
+            params = put_replicated(self.mesh, self.params)
             # commit the WHOLE state to the mesh (see trainer_diffusion):
             # avoids a full recompile at the second train step
-            self.state = jax.device_put(
+            self.state = put_replicated(
+                self.mesh,
                 create_train_state(params, self.optimizer, with_ema=False),
-                replicated(self.mesh),
             )
             self.train_step = make_denoising_train_step(
                 apply_fn,
@@ -292,7 +293,7 @@ class Trainer:
 
     def _apply_opt_component(self, restored):
         opt_state, step = restored
-        put = lambda t: jax.device_put(t, replicated(self.mesh))
+        put = lambda t: put_replicated(self.mesh, t)
         self.state = self.state.replace(
             opt_state=put(opt_state),
             step=self.state.step if step is None else put(step),
@@ -308,5 +309,5 @@ class Trainer:
             self.params = ckpt.load_component(resume, like=self.params)
         if hasattr(self, "state"):
             self.state = self.state.replace(
-                params=jax.device_put(self.params, replicated(self.mesh))
+                params=put_replicated(self.mesh, self.params)
             )

