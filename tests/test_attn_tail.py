@@ -117,6 +117,7 @@ def test_noisediffnet_fused_paths_match(monkeypatch):
     np.testing.assert_allclose(y_fused, y_xla, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_packed_heads_flag_is_exact(monkeypatch):
     """NOISEDIFF_PACKED_HEADS=1 (packed strided-conv dual heads,
     blocks.packed_narrow_conv) matches the default XLA heads with the same

@@ -63,6 +63,7 @@ def _small_model_io(dtype):
     return model, params, (x, t, cond)
 
 
+@pytest.mark.slow
 def test_model_int8_close_and_dtype_contract(monkeypatch):
     model, params, (x, t, cond) = _small_model_io(jnp.bfloat16)
     y_ref = model.apply({"params": params}, x, t, cond)

@@ -127,6 +127,7 @@ def test_folded_conv_unfold_bwd_parity():
     np.testing.assert_allclose(dk1, dk2, rtol=1e-5, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_noisediffnet_unfold_bwd_grad_parity(monkeypatch):
     """Whole-model gradients with the flag on must match the flag-off path
     (both are exact gradients of the same function; tolerance is fp

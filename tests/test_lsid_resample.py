@@ -96,18 +96,21 @@ def _whole_model_pair(shape, dtype=None):
     return jax.jit(ref.apply)(p, x), jax.jit(opt.apply)(p, x)
 
 
+@pytest.mark.slow
 def test_lsid_resample_parity_small():
     # W%8==0 -> fold-4 levels; packed head OFF at this size
     y_ref, y_opt = _whole_model_pair((2, 24, 32, 4))
     np.testing.assert_allclose(y_opt, y_ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_lsid_resample_parity_w8_remainder():
     # W%8==4 keeps fold-2 levels (F1=2 path)
     y_ref, y_opt = _whole_model_pair((1, 24, 36, 4))
     np.testing.assert_allclose(y_opt, y_ref, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_lsid_resample_parity_odd_h():
     y_ref, y_opt = _whole_model_pair((1, 26, 32, 4))
     np.testing.assert_allclose(y_opt, y_ref, atol=1e-4)

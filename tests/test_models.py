@@ -146,6 +146,7 @@ def test_noisediffnet_remat_equivalent():
     assert np.isfinite(max(float(jnp.abs(l).max()) for l in jax.tree.leaves(g)))
 
 
+@pytest.mark.slow
 def test_noisediffnet_bf16_forward():
     model = NoiseDiffNet(dim=16, dtype=jnp.bfloat16)
     b, s = 1, 16
