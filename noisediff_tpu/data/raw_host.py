@@ -137,7 +137,20 @@ def extract_iso_from_exif(path: str) -> Optional[int]:
 
 
 def metainfo(path: str) -> Tuple[float, float]:
-    """(iso, exposure_time) from EXIF (test_denoising.py:302-315)."""
+    """(iso, exposure_time) from EXIF (test_denoising.py:302-315).
+
+    Resolution order mirrors decode_bayer: a '<path>.meta.json' /
+    '<stem>.meta.json' sidecar ({"iso": ..., "exposure": ...}) wins over
+    EXIF — synthetic trees (fixtures, the learning gate) carry no EXIF.
+    """
+    import json
+
+    for cand in (path + ".meta.json", os.path.splitext(path)[0] + ".meta.json"):
+        if os.path.exists(cand):
+            with open(cand, "r") as f:
+                m = json.load(f)
+            return float(m["iso"]), float(m["exposure"])
+
     import exifread  # required for ELD eval; fail loudly if absent
 
     with open(path, "rb") as f:
