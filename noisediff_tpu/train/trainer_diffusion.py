@@ -144,6 +144,25 @@ class Trainer:
                     args.batch_size, ndev, dp,
                 )
 
+        # v5e conv-emitter sweet spot: per-chip batch 8 sustains 1.75x the
+        # samples/s of the reference-default bs=4 at crop 512 (measured,
+        # BENCH_r02 diffusion_train_samples_per_sec_bs8 21.52 vs 12.13).
+        # Default stays reference-compatible (script.sh:4); warn so nobody
+        # trains at ~57% of the chip silently.
+        per_chip = args.batch_size // max(self.mesh.shape.get("data", 1), 1)
+        if (
+            args.phase == "train"
+            and per_chip < 8
+            and jax.devices()[0].platform == "tpu"
+            and self.rank <= 0
+        ):
+            logging.warning(
+                "per-chip batch %d < 8: TPU conv emitters reach ~1.75x "
+                "samples/s at per-chip batch 8 (crop 512, measured in "
+                "BENCH_r02); consider --batch_size %d",
+                per_chip, 8 * self.mesh.shape.get("data", 1),
+            )
+
         self._auto_resume = ("", None)
         if args.resume == "auto":
             # crash recovery: resume from the newest snapshot (the reference
