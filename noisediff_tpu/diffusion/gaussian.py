@@ -34,6 +34,18 @@ Condition = Optional[Dict[str, jnp.ndarray]]
 OBJECTIVES = ("pred_noise", "pred_x0", "pred_v")
 
 
+def _scan_unroll() -> int:
+    """NOISEDIFF_SCAN_UNROLL=n unrolls the sampler scans n steps per XLA
+    while-iteration (default 1). Read at trace time like the other env
+    gates; numerically identity — only the loop-body replication changes."""
+    import os
+
+    try:
+        return max(1, int(os.environ.get("NOISEDIFF_SCAN_UNROLL", "1")))
+    except ValueError:
+        return 1
+
+
 def _extract(a: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
     """Gather per-timestep coefficients and broadcast to an ndim tensor.
 
@@ -378,6 +390,12 @@ class GaussianDiffusion:
                 x = unfold_width(x, fold_io)
             return self.unnormalize(x)
 
+        # eta == 0 (the reference default, denoising_diffusion_pytorch.py:178)
+        # zeroes every sigma; sigma is runtime data inside the scan, so XLA
+        # cannot DCE the per-step threefry draw — gate it at trace time.
+        # Bit-exact: x + 0.0 * noise == x for the finite noise normal() makes.
+        deterministic = float(eta) == 0.0
+
         def step(x, inputs):
             i, t, a_next, sig, cc = inputs
             tb = jnp.full((shape[0],), t, jnp.int32)
@@ -385,13 +403,17 @@ class GaussianDiffusion:
                 params, x, tb, condition, clip_x_start=True,
                 rederive_pred_noise=True, io_fold=fold_io,
             )
-            noise = jax.random.normal(
-                jax.random.fold_in(rng_steps, i), fshape, self.sample_dtype
-            )
-            x = x_start * jnp.sqrt(a_next) + cc * pred_noise + sig * noise
+            x = x_start * jnp.sqrt(a_next) + cc * pred_noise
+            if not deterministic:
+                noise = jax.random.normal(
+                    jax.random.fold_in(rng_steps, i), fshape, self.sample_dtype
+                )
+                x = x + sig * noise
             return x.astype(self.sample_dtype), None
 
-        x, _ = jax.lax.scan(step, x, (idx, t_cur, alpha_next, sigma, c))
+        x, _ = jax.lax.scan(
+            step, x, (idx, t_cur, alpha_next, sigma, c), unroll=_scan_unroll()
+        )
         if fold_io > 1:
             from ..models.blocks import unfold_width
 
@@ -487,6 +509,7 @@ class GaussianDiffusion:
             step,
             (x, jnp.zeros_like(x), jnp.ones((), bool)),
             (idx, consts),
+            unroll=_scan_unroll(),
         )
         if fold_io > 1:
             from ..models.blocks import unfold_width
