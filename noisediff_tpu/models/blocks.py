@@ -920,6 +920,46 @@ class LayerNorm(nn.Module):
         return y + bias_f
 
 
+def _gn_stats_mxu_enabled(dtype) -> bool:
+    """Whether GN stats are computed as MXU contractions instead of VPU
+    reduces (NOISEDIFF_GN_STATS=mxu; default off — measured dead end).
+
+    Hypothesis: in the crop-512 train graph the conv emitters pin full-res
+    activations to batch-in-sublanes layouts (bf16{3,0,2,1:T(4,128)}), and
+    the stats reduce over (H, W) of such a tensor runs ~16x off the HBM
+    roofline (profiled 1.25 ms per GN for a 50 MB read — the
+    "AllBatchInSubla" fusion kind; the identical reduce on a
+    {3,2,1,0:T(8,128)} tensor measures 0.14 ms). Expressing the sums as
+    dot_generals hands the op to the MXU, which has its own layout
+    machinery. Measured (scripts/bench_train_ab.py, crop 512 / bs 4,
+    2026-08-19): reduce 332.0 ms/step, mxu 341.4 ms/step — the dot-shaped
+    consumer forces its own relayouts and LOSES 3%; XLA's fused reduces
+    win in context. Kept opt-in + parity-tested
+    (tests/test_groupnorm_kernel.py::test_gn_stats_mxu_parity). Exact
+    products for bf16 inputs (bf16 multiplies are exact in the f32
+    accumulator; only summation order differs, ~1e-6 rel); fp32 inputs
+    would additionally lose precision to the TPU's bf16-pass fp32 dots."""
+    return os.environ.get("NOISEDIFF_GN_STATS", "") == "mxu"
+
+
+def _gn_stats_sums(x):
+    """(b, h, w, cf) -> fp32 per-(batch, channel) sums (sum x, sum x^2)."""
+    b, h, w, cf = x.shape
+    if _gn_stats_mxu_enabled(x.dtype):
+        x2 = x.reshape(b, h * w, cf)
+        ones = jnp.ones((b, h * w), x.dtype)
+        s_c = jnp.einsum(
+            "bpc,bp->bc", x2, ones, preferred_element_type=jnp.float32
+        )
+        gram = jnp.einsum(
+            "bpc,bpd->bcd", x2, x2, preferred_element_type=jnp.float32
+        )
+        sq_c = jnp.diagonal(gram, axis1=1, axis2=2)
+        return s_c, sq_c
+    xf = x.astype(jnp.float32)
+    return xf.sum(axis=(1, 2)), (xf * xf).sum(axis=(1, 2))
+
+
 def _gn_coeffs_primal(x, scale, bias, groups, eps, fold):
     """Per-(batch, folded-channel) GroupNorm affine coefficients (a, bb) so
     that normalise+scale+bias == x*a + bb. fp32 stats (torch semantics,
@@ -929,9 +969,7 @@ def _gn_coeffs_primal(x, scale, bias, groups, eps, fold):
     re-reduces the activation."""
     b, h, w, cf = x.shape
     c = cf // fold
-    xf = x.astype(jnp.float32)
-    s_c = xf.sum(axis=(1, 2))
-    sq_c = (xf * xf).sum(axis=(1, 2))
+    s_c, sq_c = _gn_stats_sums(x)
     if fold > 1:
         s_c = s_c.reshape(b, fold, c).sum(1)
         sq_c = sq_c.reshape(b, fold, c).sum(1)

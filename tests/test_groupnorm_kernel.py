@@ -71,6 +71,43 @@ def test_fits_vmem():
     assert fits_vmem(512 * 512, 48, itemsize=2) is False  # bf16 still 25 MB
 
 
+def test_gn_stats_mxu_parity(monkeypatch):
+    """The MXU-contraction GN stats (NOISEDIFF_GN_STATS=mxu, the TPU
+    default) must match the plain fp32 reduce (=reduce) for value, input
+    grad, and parameter grads — folded and unfolded, with FiLM. bf16
+    multiplies are exact in the f32 accumulator, so only summation order
+    differs (~1e-6 rel)."""
+    import numpy as np
+    from noisediff_tpu.models.blocks import GroupNorm
+
+    rng = np.random.default_rng(1)
+    for fold, cf in ((1, 32), (2, 64)):
+        x = jnp.asarray(rng.normal(size=(2, 8, 12, cf)).astype(np.float32)) * 3 + 1
+        ss = (
+            jnp.asarray(rng.normal(size=(2, 1, 1, cf)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(2, 1, 1, cf)).astype(np.float32)),
+        )
+        m = GroupNorm(groups=8, fold=fold)
+        p = m.init(jax.random.PRNGKey(0), x, ss)
+        p = jax.tree.map(lambda t: t + 0.3, p)
+
+        def loss(pp, xx):
+            y = m.apply(pp, xx, ss)
+            return jnp.sum(jnp.sin(y) * y)
+
+        outs = {}
+        for flag in ("reduce", "mxu"):
+            monkeypatch.setenv("NOISEDIFF_GN_STATS", flag)
+            v, (gp, gx) = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
+            outs[flag] = (v, gp, gx)
+        v0, gp0, gx0 = outs["reduce"]
+        v1, gp1, gx1 = outs["mxu"]
+        np.testing.assert_allclose(v0, v1, rtol=1e-5)
+        np.testing.assert_allclose(gx0, gx1, rtol=1e-4, atol=1e-5)
+        for a, b in zip(jax.tree.leaves(gp0), jax.tree.leaves(gp1)):
+            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
 def test_gn_analytic_backward_parity(monkeypatch):
     """The analytic GroupNorm-stats backward (_gn_coeffs custom_vjp, the
     default) must match plain autodiff (NOISEDIFF_GN_BWD=xla) for value,
