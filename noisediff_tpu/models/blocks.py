@@ -942,9 +942,41 @@ def _gn_stats_mxu_enabled(dtype) -> bool:
     return os.environ.get("NOISEDIFF_GN_STATS", "") == "mxu"
 
 
+def _gn_stats_pallas_mode(x):
+    """'' (off) | 'tpu' | 'interpret' — whether GN stats stream through the
+    Pallas kernel (ops/pallas/gn_stats.py). DEFAULT ON for large
+    activations on single-chip TPU: the conv emitters pin full-res
+    activations to batch-in-sublanes layouts whose XLA stats reduces run
+    ~16x off the HBM roofline (see _gn_stats_mxu_enabled's ledger); the
+    kernel streams them at Mosaic DMA rates instead. Measured in-model
+    (scripts/bench_train_ab.py, crop 512 / bs 4, 2026-08-19):
+    reduce 331.7 ms/step -> pallas 294.7 ms/step (+12.6%, 3.39 steps/s).
+    NOISEDIFF_GN_STATS=reduce/mxu opts out; =pallas forces the same
+    TPU gate; =pallas-interpret forces interpret mode (CPU tests).
+    Multi-chip falls back to the reduce (under pjit the kernel would
+    need a shard_map wrapper — not yet built)."""
+    flag = os.environ.get("NOISEDIFF_GN_STATS", "")
+    if flag == "pallas-interpret":
+        return "interpret"
+    if flag not in ("", "pallas"):
+        return ""
+    if (
+        jax.default_backend() == "tpu"
+        and jax.device_count() == 1
+        and x.shape[1] * x.shape[2] >= 4096
+    ):
+        return "tpu"
+    return ""
+
+
 def _gn_stats_sums(x):
     """(b, h, w, cf) -> fp32 per-(batch, channel) sums (sum x, sum x^2)."""
     b, h, w, cf = x.shape
+    pallas_mode = _gn_stats_pallas_mode(x)
+    if pallas_mode:
+        from ..ops.pallas.gn_stats import gn_stats_vjp
+
+        return gn_stats_vjp(x, pallas_mode == "interpret")
     if _gn_stats_mxu_enabled(x.dtype):
         x2 = x.reshape(b, h * w, cf)
         ones = jnp.ones((b, h * w), x.dtype)

@@ -1,0 +1,109 @@
+"""Streaming GroupNorm-stats Pallas kernel.
+
+The crop-512 train graph computes the per-(batch, channel) GroupNorm
+stats (s = sum_hw x, q = sum_hw x^2) as dedicated XLA reduce fusions
+over conv outputs pinned to batch-in-sublanes layouts; ten such fusions
+measure ~1.25 ms each — ~37 GB/s effective for a 50 MB read (the
+"AllBatchInSubla" reduce emitter). This kernel streams the activation at
+Mosaic DMA rates (~540 GB/s measured on this runtime, BENCH_NOTES) and
+accumulates fp32 sums in VMEM across the sequential grid.
+
+Layout contract (the attn_tail trick): the activation is fed
+(H, W, B, C)-transposed so the custom call's default descending layout
+is PHYSICALLY the conv emitters' preferred {3,0,2,1} batch-in-sublanes
+layout of the original (B, H, W, C) tensor — the surrounding transpose
+is a layout bitcast, not a layout pin that would de-optimise the
+neighbouring convolutions.
+
+Stats semantics match models/blocks._gn_coeffs_primal (torch GroupNorm
+fp32 stats — reference models/Diffusion_arch.py block norms): fp32
+accumulation, uncentered sums; only the summation order differs from
+the XLA reduce (~1e-6 rel for bf16 inputs).
+"""
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+# bf16 block elements per grid step (~2 MB bf16 + fp32 temporaries)
+TILE_ELEM_LIMIT = 1024 * 1024
+
+
+def _tile_rows(h: int, wb: int, cf: int,
+               limit_elems: int = TILE_ELEM_LIMIT) -> int:
+    """Largest row count R dividing h with R*wb*cf elements within budget."""
+    limit = max(1, min(limit_elems // max(wb * cf, 1), h))
+    for r in range(limit, 0, -1):
+        if h % r == 0:
+            return r
+    return 1
+
+
+def _kernel(x_ref, s_ref, q_ref):
+    i = pl.program_id(0)
+    r, w, b, cf = x_ref.shape
+    x = x_ref[...].astype(jnp.float32).reshape(r * w, b, cf)
+    s = jnp.sum(x, axis=0)
+    q = jnp.sum(x * x, axis=0)
+
+    @pl.when(i == 0)
+    def _init():
+        s_ref[...] = s
+        q_ref[...] = q
+
+    @pl.when(i != 0)
+    def _acc():
+        s_ref[...] += s
+        q_ref[...] += q
+
+
+def gn_stats(x, interpret: bool = False):
+    """(B, H, W, CF) activation -> (s, q) fp32 (B, CF) per-channel sums."""
+    b, h, w, cf = x.shape
+    r = _tile_rows(h, w * b, cf)
+    xt = jnp.transpose(x, (1, 2, 0, 3))  # (H, W, B, C): a layout bitcast
+    s, q = pl.pallas_call(
+        _kernel,
+        grid=(h // r,),
+        in_specs=[
+            pl.BlockSpec((r, w, b, cf), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, cf), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, cf), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, cf), jnp.float32),
+            jax.ShapeDtypeStruct((b, cf), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xt)
+    return s, q
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def gn_stats_vjp(x, interpret: bool = False):
+    """gn_stats with the closed-form backward (ds/dx = 1, dq/dx = 2x), so
+    the plain-autodiff GN path (NOISEDIFF_GN_BWD=xla) can differentiate
+    through the kernel. Under the default analytic _gn_coeffs custom_vjp
+    the kernel only ever runs in the (non-differentiated) forward."""
+    return gn_stats(x, interpret)
+
+
+def _fwd(x, interpret):
+    return gn_stats(x, interpret), x
+
+
+def _bwd(interpret, x, g):
+    ds, dq = g  # fp32 (b, cf)
+    dx = (
+        ds[:, None, None, :]
+        + 2.0 * x.astype(jnp.float32) * dq[:, None, None, :]
+    ).astype(x.dtype)
+    return (dx,)
+
+
+gn_stats_vjp.defvjp(_fwd, _bwd)

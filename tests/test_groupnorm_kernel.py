@@ -96,16 +96,45 @@ def test_gn_stats_mxu_parity(monkeypatch):
             return jnp.sum(jnp.sin(y) * y)
 
         outs = {}
-        for flag in ("reduce", "mxu"):
+        for flag in ("reduce", "mxu", "pallas-interpret"):
             monkeypatch.setenv("NOISEDIFF_GN_STATS", flag)
             v, (gp, gx) = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
             outs[flag] = (v, gp, gx)
         v0, gp0, gx0 = outs["reduce"]
-        v1, gp1, gx1 = outs["mxu"]
-        np.testing.assert_allclose(v0, v1, rtol=1e-5)
-        np.testing.assert_allclose(gx0, gx1, rtol=1e-4, atol=1e-5)
-        for a, b in zip(jax.tree.leaves(gp0), jax.tree.leaves(gp1)):
-            np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+        for other in ("mxu", "pallas-interpret"):
+            v1, gp1, gx1 = outs[other]
+            np.testing.assert_allclose(v0, v1, rtol=1e-5)
+            np.testing.assert_allclose(gx0, gx1, rtol=1e-4, atol=1e-5)
+            for a, b in zip(jax.tree.leaves(gp0), jax.tree.leaves(gp1)):
+                np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_gn_stats_pallas_kernel_and_vjp(monkeypatch):
+    """Direct kernel check (interpret mode): gn_stats matches the fp32
+    reduce, and gn_stats_vjp's closed-form backward matches autodiff of
+    the reduce (the NOISEDIFF_GN_BWD=xla + pallas-stats combination)."""
+    import numpy as np
+    from noisediff_tpu.ops.pallas.gn_stats import gn_stats, gn_stats_vjp
+
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 32)).astype(np.float32)) * 2 + 1
+    s, q = gn_stats(x, interpret=True)
+    xf = x.astype(jnp.float32)
+    np.testing.assert_allclose(s, xf.sum(axis=(1, 2)), rtol=1e-6)
+    np.testing.assert_allclose(q, (xf * xf).sum(axis=(1, 2)), rtol=1e-6)
+
+    def loss_k(xx):
+        s, q = gn_stats_vjp(xx, True)
+        return jnp.sum(jnp.sin(s) * q)
+
+    def loss_r(xx):
+        xf = xx.astype(jnp.float32)
+        s, q = xf.sum(axis=(1, 2)), (xf * xf).sum(axis=(1, 2))
+        return jnp.sum(jnp.sin(s) * q)
+
+    gk = jax.grad(loss_k)(x)
+    gr = jax.grad(loss_r)(x)
+    np.testing.assert_allclose(gk, gr, rtol=1e-4, atol=1e-4)
 
 
 def test_gn_analytic_backward_parity(monkeypatch):
