@@ -953,18 +953,16 @@ def _gn_stats_pallas_mode(x):
     reduce 331.7 ms/step -> pallas 294.7 ms/step (+12.6%, 3.39 steps/s).
     NOISEDIFF_GN_STATS=reduce/mxu opts out; =pallas forces the same
     TPU gate; =pallas-interpret forces interpret mode (CPU tests).
-    Multi-chip falls back to the reduce (under pjit the kernel would
-    need a shard_map wrapper — not yet built)."""
+    Multi-chip routes through the kernel's custom_partitioning wrapper
+    (ops/pallas/gn_stats.gn_stats_p): b/c pass through, h/w are
+    reduction factors, so pjit shards the stream per chip and inserts a
+    psum only when the spatial dims themselves are mesh-sharded."""
     flag = os.environ.get("NOISEDIFF_GN_STATS", "")
     if flag == "pallas-interpret":
         return "interpret"
     if flag not in ("", "pallas"):
         return ""
-    if (
-        jax.default_backend() == "tpu"
-        and jax.device_count() == 1
-        and x.shape[1] * x.shape[2] >= 4096
-    ):
+    if jax.default_backend() == "tpu" and x.shape[1] * x.shape[2] >= 4096:
         return "tpu"
     return ""
 

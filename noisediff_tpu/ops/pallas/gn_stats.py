@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 # bf16 block elements per grid step (~2 MB bf16 + fp32 temporaries)
 TILE_ELEM_LIMIT = 1024 * 1024
@@ -84,17 +86,81 @@ def gn_stats(x, interpret: bool = False):
     return s, q
 
 
+def _axes_of(dim_spec):
+    """Mesh axis names a PartitionSpec entry shards over ('' / str / tuple)."""
+    if dim_spec is None:
+        return ()
+    if isinstance(dim_spec, str):
+        return (dim_spec,)
+    return tuple(dim_spec)
+
+
+@functools.partial(custom_partitioning, static_argnums=(1,))
+def gn_stats_p(x, interpret: bool = False):
+    """gn_stats with an SPMD partition rule so the kernel survives pjit.
+
+    Without this, a pallas_call inside a jit over a >1-device mesh is an
+    opaque custom call: the partitioner replicates the (possibly huge)
+    activation onto every chip. The rule below declares the true
+    dataflow — b and c pass through, h and w are reduction factors — so
+    each shard streams only its local tile through the kernel, followed
+    by a psum over whichever mesh axes shard the spatial dims (none under
+    pure data parallelism: GN stats are per-sample). Multi-chip training
+    therefore keeps the kernel's +12.6% step-time win (BENCH_NOTES
+    round-3) instead of falling back to the lane-hostile XLA reduces.
+    """
+    return gn_stats(x, interpret)
+
+
+def _infer_sharding(interpret, mesh, arg_shapes, result_shape):
+    spec = list(arg_shapes[0].sharding.spec) + [None] * 4
+    out = NamedSharding(mesh, P(spec[0], spec[3]))
+    return (out, out)
+
+
+def _partition(interpret, mesh, arg_shapes, result_shape):
+    arg_sh = arg_shapes[0].sharding
+    spec = list(arg_sh.spec) + [None] * (4 - len(arg_sh.spec))
+    reduce_axes = _axes_of(spec[1]) + _axes_of(spec[2])
+    out = NamedSharding(mesh, P(spec[0], spec[3]))
+
+    def lower(x):
+        s, q = gn_stats(x, interpret)
+        if reduce_axes:
+            s = jax.lax.psum(s, reduce_axes)
+            q = jax.lax.psum(q, reduce_axes)
+        return s, q
+
+    return mesh, lower, (out, out), (arg_sh,)
+
+
+gn_stats_p.def_partition(
+    _partition,
+    infer_sharding_from_operands=_infer_sharding,
+    sharding_rule="b h w c -> b c, b c",
+    reduction_factors=("h", "w"),
+)
+
+
+def _dispatch(x, interpret: bool):
+    if jax.device_count() > 1:
+        return gn_stats_p(x, interpret)
+    return gn_stats(x, interpret)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def gn_stats_vjp(x, interpret: bool = False):
     """gn_stats with the closed-form backward (ds/dx = 1, dq/dx = 2x), so
     the plain-autodiff GN path (NOISEDIFF_GN_BWD=xla) can differentiate
     through the kernel. Under the default analytic _gn_coeffs custom_vjp
-    the kernel only ever runs in the (non-differentiated) forward."""
-    return gn_stats(x, interpret)
+    the kernel only ever runs in the (non-differentiated) forward. On
+    >1-device processes the call routes through the SPMD-partitioned
+    wrapper (gn_stats_p) so pjit shards rather than replicates."""
+    return _dispatch(x, interpret)
 
 
 def _fwd(x, interpret):
-    return gn_stats(x, interpret), x
+    return _dispatch(x, interpret), x
 
 
 def _bwd(interpret, x, g):
