@@ -1078,6 +1078,56 @@ def _gnc_bwd(groups, eps, fold, res, g):
 _gn_coeffs.defvjp(_gnc_fwd, _gnc_bwd)
 
 
+def _gn_apply_plain(x, a, bb):
+    """y = x*a + bb with fp32 (b, cf) coeffs broadcast in the model dtype."""
+    return (
+        x * a[:, None, None, :].astype(x.dtype)
+        + bb[:, None, None, :].astype(x.dtype)
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gn_apply(x, a, bb, interpret):
+    """The GN affine application with a Pallas-streamed backward.
+
+    Autodiff of y = x*a + bb needs da = sum_hw(g*x) and dbb = sum_hw(g) —
+    per-channel reduces over full-res activations that the conv emitters
+    pin to batch-in-sublanes layouts, which XLA lowers to the same
+    lane-hostile "AllBatchInSubla" multiply_reduce fusions the forward
+    stats kernel already displaced (~16 ms/step + forced layout copies in
+    the crop-512 train profile, BENCH_NOTES round-3). The backward here
+    streams g and x through ops/pallas/gn_stats.gn_grad_stats at Mosaic
+    DMA rates; dx = g*a stays an XLA elementwise fusion."""
+    return _gn_apply_plain(x, a, bb)
+
+
+def _gna_fwd(x, a, bb, interpret):
+    return _gn_apply_plain(x, a, bb), (x, a)
+
+
+def _gna_bwd(interpret, res, g):
+    x, a = res
+    from ..ops.pallas.gn_stats import gn_grad_stats_dispatch
+
+    dbb, da = gn_grad_stats_dispatch(g, x, interpret)
+    dx = g * a[:, None, None, :].astype(g.dtype)
+    return dx, da, dbb
+
+
+_gn_apply.defvjp(_gna_fwd, _gna_bwd)
+
+
+def _gn_normalize(x, a, bb):
+    """Route the GN affine application: Pallas-streamed backward when the
+    stats kernel is active for this shape (same gate — large activations
+    on TPU, or the interpret-mode test flag), plain XLA math otherwise.
+    NOISEDIFF_GN_APPLY_BWD=xla opts just this backward out for A/B."""
+    mode = _gn_stats_pallas_mode(x)
+    if mode and os.environ.get("NOISEDIFF_GN_APPLY_BWD", "") != "xla":
+        return _gn_apply(x, a, bb, mode == "interpret")
+    return _gn_apply_plain(x, a, bb)
+
+
 def _gn_analytic_bwd_enabled() -> bool:
     """Whether GroupNorm stats use the analytic custom backward above
     (default on; NOISEDIFF_GN_BWD=xla restores plain autodiff)."""
@@ -1116,11 +1166,11 @@ class _GNParams(nn.Module):
             if _gn_analytic_bwd_enabled():
                 a, bb = _gn_coeffs(x, scale, bias, self.groups, self.eps,
                                    self.fold)
+                y = _gn_normalize(x, a, bb)
             else:
                 a, bb = _gn_coeffs_primal(x, scale, bias, self.groups,
                                           self.eps, self.fold)[0]
-            a, bb = a[:, None, None, :], bb[:, None, None, :]
-            y = x * a.astype(x.dtype) + bb.astype(x.dtype)
+                y = _gn_apply_plain(x, a, bb)
             if scale_shift is not None:
                 s, sh = scale_shift
                 y = y * (s + 1.0) + sh
@@ -1150,10 +1200,10 @@ class _GNParams(nn.Module):
         # an analytic custom backward (see _gn_coeffs).
         if _gn_analytic_bwd_enabled():
             a, bb = _gn_coeffs(x, scale, bias, self.groups, self.eps, 1)
+            y = _gn_normalize(x, a, bb)
         else:
             a, bb = _gn_coeffs_primal(x, scale, bias, self.groups, self.eps, 1)[0]
-        a, bb = a[:, None, None, :], bb[:, None, None, :]
-        y = x * a.astype(x.dtype) + bb.astype(x.dtype)
+            y = _gn_apply_plain(x, a, bb)
         if scale_shift is not None:
             s, sh = scale_shift
             y = y * (s + 1.0) + sh

@@ -148,6 +148,114 @@ def _dispatch(x, interpret: bool):
     return gn_stats(x, interpret)
 
 
+# ---------------------------------------------------------------------------
+# Backward-pass grad stats: (sum_hw g, sum_hw g*x).
+#
+# The GroupNorm affine application y = x*a + bb (models/blocks._gn_apply)
+# needs da = sum_hw(g*x) and dbb = sum_hw(g) in its backward — per-channel
+# reduces over the SAME batch-in-sublanes conv layouts whose forward stats
+# this file's kernel already streams. Left to XLA these lower to the
+# lane-hostile "AllBatchInSubla" multiply_reduce fusions (~16 ms/step of
+# the crop-512 train graph, plus the layout copies they force — round-3
+# profile, BENCH_NOTES). Same streaming structure, two inputs.
+# ---------------------------------------------------------------------------
+
+
+def _grad_kernel(g_ref, x_ref, s_ref, p_ref):
+    i = pl.program_id(0)
+    r, w, b, cf = g_ref.shape
+    g = g_ref[...].astype(jnp.float32).reshape(r * w, b, cf)
+    x = x_ref[...].astype(jnp.float32).reshape(r * w, b, cf)
+    s = jnp.sum(g, axis=0)
+    p = jnp.sum(g * x, axis=0)
+
+    @pl.when(i == 0)
+    def _init():
+        s_ref[...] = s
+        p_ref[...] = p
+
+    @pl.when(i != 0)
+    def _acc():
+        s_ref[...] += s
+        p_ref[...] += p
+
+
+def gn_grad_stats(g, x, interpret: bool = False):
+    """(B, H, W, CF) cotangent + activation -> fp32 (sum_hw g, sum_hw g*x).
+
+    Each grid step streams one row-block of BOTH tensors, so the VMEM
+    budget per step is twice gn_stats' — halve the row tile."""
+    b, h, w, cf = g.shape
+    r = _tile_rows(h, w * b, cf, TILE_ELEM_LIMIT // 2)
+    gt = jnp.transpose(g, (1, 2, 0, 3))  # layout bitcasts, as in gn_stats
+    xt = jnp.transpose(x, (1, 2, 0, 3))
+    s, p = pl.pallas_call(
+        _grad_kernel,
+        grid=(h // r,),
+        in_specs=[
+            pl.BlockSpec((r, w, b, cf), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((r, w, b, cf), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((b, cf), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, cf), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, cf), jnp.float32),
+            jax.ShapeDtypeStruct((b, cf), jnp.float32),
+        ],
+        interpret=interpret,
+    )(gt, xt)
+    return s, p
+
+
+@functools.partial(custom_partitioning, static_argnums=(2,))
+def gn_grad_stats_p(g, x, interpret: bool = False):
+    """gn_grad_stats with the same SPMD partition rule as gn_stats_p: b/c
+    pass through, h/w are reduction factors (psum only when the mesh
+    shards the spatial dims). Keeps the backward kernel sharded instead
+    of replicated under pjit on >1-device meshes."""
+    return gn_grad_stats(g, x, interpret)
+
+
+def _grad_infer_sharding(interpret, mesh, arg_shapes, result_shape):
+    spec = list(arg_shapes[0].sharding.spec) + [None] * 4
+    out = NamedSharding(mesh, P(spec[0], spec[3]))
+    return (out, out)
+
+
+def _grad_partition(interpret, mesh, arg_shapes, result_shape):
+    g_sh = arg_shapes[0].sharding
+    spec = list(g_sh.spec) + [None] * (4 - len(g_sh.spec))
+    reduce_axes = _axes_of(spec[1]) + _axes_of(spec[2])
+    out = NamedSharding(mesh, P(spec[0], spec[3]))
+
+    def lower(g, x):
+        s, p = gn_grad_stats(g, x, interpret)
+        if reduce_axes:
+            s = jax.lax.psum(s, reduce_axes)
+            p = jax.lax.psum(p, reduce_axes)
+        return s, p
+
+    return mesh, lower, (out, out), (g_sh, g_sh)
+
+
+gn_grad_stats_p.def_partition(
+    _grad_partition,
+    infer_sharding_from_operands=_grad_infer_sharding,
+    sharding_rule="b h w c, b h w c -> b c, b c",
+    reduction_factors=("h", "w"),
+)
+
+
+def gn_grad_stats_dispatch(g, x, interpret: bool = False):
+    if jax.device_count() > 1:
+        return gn_grad_stats_p(g, x, interpret)
+    return gn_grad_stats(g, x, interpret)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
 def gn_stats_vjp(x, interpret: bool = False):
     """gn_stats with the closed-form backward (ds/dx = 1, dq/dx = 2x), so

@@ -137,6 +137,107 @@ def test_gn_stats_pallas_kernel_and_vjp(monkeypatch):
     np.testing.assert_allclose(gk, gr, rtol=1e-4, atol=1e-4)
 
 
+def test_gn_grad_stats_kernel():
+    """Direct check of the backward grad-stats kernel (interpret mode):
+    gn_grad_stats(g, x) == (sum_hw g, sum_hw g*x) in fp32."""
+    import numpy as np
+    from noisediff_tpu.ops.pallas.gn_stats import gn_grad_stats
+
+    rng = np.random.default_rng(5)
+    g = jnp.asarray(rng.normal(size=(2, 8, 12, 32)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(2, 8, 12, 32)).astype(np.float32)) * 2 + 1
+    s, p = gn_grad_stats(g, x, interpret=True)
+    np.testing.assert_allclose(s, np.asarray(g).sum(axis=(1, 2)), rtol=1e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(
+        p, (np.asarray(g) * np.asarray(x)).sum(axis=(1, 2)), rtol=1e-5,
+        atol=1e-5)
+
+
+def test_gn_apply_pallas_backward_parity(monkeypatch):
+    """The Pallas-streamed affine-application backward (_gn_apply, active
+    whenever the stats kernel is) must match the plain-XLA application
+    backward for value, input grad, and parameter grads — folded and
+    unfolded, with FiLM. NOISEDIFF_GN_STATS=pallas-interpret activates
+    both kernels; NOISEDIFF_GN_APPLY_BWD=xla isolates the apply leg."""
+    import numpy as np
+    from noisediff_tpu.models.blocks import GroupNorm
+
+    rng = np.random.default_rng(7)
+    for fold, cf in ((1, 32), (2, 64)):
+        x = jnp.asarray(rng.normal(size=(2, 8, 12, cf)).astype(np.float32)) * 3 + 1
+        ss = (
+            jnp.asarray(rng.normal(size=(2, 1, 1, cf)).astype(np.float32)),
+            jnp.asarray(rng.normal(size=(2, 1, 1, cf)).astype(np.float32)),
+        )
+        m = GroupNorm(groups=8, fold=fold)
+        p = m.init(jax.random.PRNGKey(0), x, ss)
+        p = jax.tree.map(lambda t: t + 0.3, p)
+
+        def loss(pp, xx):
+            y = m.apply(pp, xx, ss)
+            return jnp.sum(jnp.sin(y) * y)
+
+        outs = {}
+        for mode in ("reduce", "pallas-xla-apply", "pallas"):
+            monkeypatch.setenv(
+                "NOISEDIFF_GN_STATS",
+                "reduce" if mode == "reduce" else "pallas-interpret")
+            monkeypatch.setenv(
+                "NOISEDIFF_GN_APPLY_BWD",
+                "xla" if mode == "pallas-xla-apply" else "")
+            outs[mode] = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
+        v0, (gp0, gx0) = outs["reduce"]
+        for mode in ("pallas-xla-apply", "pallas"):
+            v1, (gp1, gx1) = outs[mode]
+            np.testing.assert_allclose(v0, v1, rtol=1e-6)
+            np.testing.assert_allclose(gx0, gx1, rtol=1e-4, atol=1e-5)
+            for a, b in zip(jax.tree.leaves(gp0), jax.tree.leaves(gp1)):
+                np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
+
+
+def test_gn_grad_stats_partitioned_on_mesh(monkeypatch):
+    """The backward grad-stats kernel must stay sharded under pjit: direct
+    gn_grad_stats_p parity on a (data, spatial) mesh, plus a whole-module
+    grad with the Pallas apply-backward active on sharded inputs."""
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from noisediff_tpu.ops.pallas.gn_stats import gn_grad_stats_p
+    from noisediff_tpu.models.blocks import GroupNorm
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "spatial"))
+    rng = np.random.default_rng(11)
+    g = jnp.asarray(rng.normal(size=(4, 8, 12, 32)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(4, 8, 12, 32)).astype(np.float32))
+    gf, xf = np.asarray(g, np.float32), np.asarray(x, np.float32)
+
+    for spec in (P("data", "spatial"), P("data", None, "spatial")):
+        sh = NamedSharding(mesh, spec)
+        gs, xs = jax.device_put(g, sh), jax.device_put(x, sh)
+        with jax.set_mesh(mesh):
+            s, p = jax.jit(lambda a, b: gn_grad_stats_p(a, b, True))(gs, xs)
+        np.testing.assert_allclose(s, gf.sum(axis=(1, 2)), rtol=1e-4,
+                                   atol=5e-3)
+        np.testing.assert_allclose(p, (gf * xf).sum(axis=(1, 2)), rtol=1e-4,
+                                   atol=5e-3)
+
+    m = GroupNorm(groups=8, fold=1)
+    pm = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(pp, xx):
+        return jnp.sum(jnp.sin(m.apply(pp, xx)))
+
+    xs = jax.device_put(x, NamedSharding(mesh, P("data", "spatial")))
+    outs = {}
+    for flag in ("reduce", "pallas-interpret"):
+        monkeypatch.setenv("NOISEDIFF_GN_STATS", flag)
+        with jax.set_mesh(mesh):
+            outs[flag] = jax.jit(jax.grad(loss, argnums=(0, 1)))(pm, xs)
+    for a, b in zip(jax.tree.leaves(outs["reduce"]),
+                    jax.tree.leaves(outs["pallas-interpret"])):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+
 def test_gn_analytic_backward_parity(monkeypatch):
     """The analytic GroupNorm-stats backward (_gn_coeffs custom_vjp, the
     default) must match plain autodiff (NOISEDIFF_GN_BWD=xla) for value,
