@@ -1117,6 +1117,25 @@ def _gna_bwd(interpret, res, g):
 _gn_apply.defvjp(_gna_fwd, _gna_bwd)
 
 
+def _film_fold(a, bb, scale_shift):
+    """Fold a per-batch time-FiLM y*(s+1) + sh into the (b, cf) GN affine
+    coeffs: (x*a + bb)*(s+1) + sh == x*[a*(s+1)] + [bb*(s+1) + sh]. The
+    FiLM then rides the single affine application — its backward needs no
+    full-res reduce of its own (autodiff of the broadcast multiply needs
+    ds = sum_hw(g*y), the same lane-hostile pattern _gn_apply displaces);
+    everything FiLM-specific stays (b, cf)-sized fp32. Per-pixel FiLM
+    (ResnetBlock2's conv-predicted maps) cannot fold — returned unchanged.
+    Returns (a, bb, remaining_scale_shift)."""
+    if scale_shift is None:
+        return a, bb, None
+    s, sh = scale_shift
+    if s.ndim != 4 or s.shape[1] != 1 or s.shape[2] != 1:
+        return a, bb, scale_shift
+    s32 = s.reshape(s.shape[0], -1).astype(jnp.float32) + 1.0
+    sh32 = sh.reshape(sh.shape[0], -1).astype(jnp.float32)
+    return a * s32, bb * s32 + sh32, None
+
+
 def _gn_normalize(x, a, bb):
     """Route the GN affine application: Pallas-streamed backward when the
     stats kernel is active for this shape (same gate — large activations
@@ -1166,10 +1185,12 @@ class _GNParams(nn.Module):
             if _gn_analytic_bwd_enabled():
                 a, bb = _gn_coeffs(x, scale, bias, self.groups, self.eps,
                                    self.fold)
+                a, bb, scale_shift = _film_fold(a, bb, scale_shift)
                 y = _gn_normalize(x, a, bb)
             else:
                 a, bb = _gn_coeffs_primal(x, scale, bias, self.groups,
                                           self.eps, self.fold)[0]
+                a, bb, scale_shift = _film_fold(a, bb, scale_shift)
                 y = _gn_apply_plain(x, a, bb)
             if scale_shift is not None:
                 s, sh = scale_shift
@@ -1200,9 +1221,11 @@ class _GNParams(nn.Module):
         # an analytic custom backward (see _gn_coeffs).
         if _gn_analytic_bwd_enabled():
             a, bb = _gn_coeffs(x, scale, bias, self.groups, self.eps, 1)
+            a, bb, scale_shift = _film_fold(a, bb, scale_shift)
             y = _gn_normalize(x, a, bb)
         else:
             a, bb = _gn_coeffs_primal(x, scale, bias, self.groups, self.eps, 1)[0]
+            a, bb, scale_shift = _film_fold(a, bb, scale_shift)
             y = _gn_apply_plain(x, a, bb)
         if scale_shift is not None:
             s, sh = scale_shift
