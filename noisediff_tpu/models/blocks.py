@@ -22,6 +22,7 @@ exactly this bound), embeddings ~ N(0, 1).
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 import os
@@ -300,6 +301,83 @@ def _cst_bwd(fold, res, g):
 _conv_same_taps.defvjp(_cst_fwd, _cst_bwd)
 
 
+def _wgrad_pallas_mode(x):
+    """'' (off) | 'tpu' | 'interpret' — whether stride-1 SAME convs route
+    their weight gradient through the streaming Pallas wgrad kernel
+    (ops/pallas/conv_wgrad.py) instead of XLA's wgrad-as-convolution
+    lowering (which re-tiles the folded full-res activations into
+    halo-padded batch-minor blocks and rewrites the fold-selector einsum
+    into activation-sized masked selects — BENCH_NOTES round-2/3 train
+    profiles). The forward and dgrad stay exactly XLA's.
+
+    NOISEDIFF_WGRAD=pallas forces it on TPU; =pallas-interpret forces
+    interpret mode (CPU tests); =auto mirrors the GN kernels' gate — TPU
+    + training trace + h*w >= 4096 (wgrad only exists under
+    differentiation anyway); =xla / unset keeps XLA's lowering. OPT-IN
+    until the crop-512 A/B on the real chip lands (the round-3 lesson:
+    never default-on an unmeasured path)."""
+    flag = os.environ.get("NOISEDIFF_WGRAD", "xla")
+    if flag == "pallas-interpret":
+        return "interpret"
+    if flag == "pallas" and jax.default_backend() == "tpu":
+        return "tpu"
+    if flag == "auto":
+        if (
+            _GN_TRAIN_TRACE[0]
+            and jax.default_backend() == "tpu"
+            and x.shape[1] * x.shape[2] >= 4096
+        ):
+            return "tpu"
+    return ""
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _conv_same_pallas_wgrad(x, kernel, fold, interpret):
+    """stride-1 SAME NHWC conv with the reference (unfolded, HWIO)
+    parameter `kernel`; fold > 1 means x is width-folded and the kernel is
+    folded at apply time. Forward and dgrad are bit-identical to the plain
+    path (same conv op; dgrad via jax.vjp of it); the weight gradient
+    streams through ops/pallas/conv_wgrad (fp32 accumulation, one HBM read
+    of x and g each)."""
+    kf = _fold_conv_kernel(kernel, (kernel.shape[2],), fold) if fold > 1 else kernel
+    return jax.lax.conv_general_dilated(
+        x, kf.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+
+
+def _cpw_fwd(x, kernel, fold, interpret):
+    return _conv_same_pallas_wgrad(x, kernel, fold, interpret), (x, kernel)
+
+
+def _cpw_bwd(fold, interpret, res, g):
+    from ..ops.pallas.conv_wgrad import conv_wgrad_dispatch as conv_wgrad
+
+    x, kernel = res
+    cin = kernel.shape[2]
+    kf = _fold_conv_kernel(kernel, (cin,), fold) if fold > 1 else kernel
+
+    def f(xx):
+        return jax.lax.conv_general_dilated(
+            xx, kf.astype(xx.dtype), (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    # dgrad: exactly XLA's transposed conv (the unused forward is DCE'd)
+    _, vjp_x = jax.vjp(f, x)
+    (dx,) = vjp_x(g)
+    dkf = conv_wgrad(g, x, kf.shape[0], kf.shape[1], interpret == "interpret")
+    if fold > 1:
+        _, vjpk = jax.vjp(lambda kk: _fold_conv_kernel(kk, (cin,), fold), kernel)
+        (dk,) = vjpk(dkf.astype(kernel.dtype))
+    else:
+        dk = dkf.astype(kernel.dtype)
+    return dx, dk
+
+
+_conv_same_pallas_wgrad.defvjp(_cpw_fwd, _cpw_bwd)
+
+
 def _unfold_bwd_enabled() -> bool:
     """Whether folded SAME/stride-1 convs compute their backward in the
     UNFOLDED domain (exact: the width-fold is a bitcast reshape in NHWC
@@ -399,9 +477,16 @@ class _ConvParams(nn.Module):
         same_s1 = self.strides == 1 and pad == "SAME"
         unfold_bwd = self.fold > 1 and same_s1 and _unfold_bwd_enabled()
         taps_bwd = same_s1 and ks % 2 == 1 and _taps_wgrad_enabled()
+        # streaming Pallas wgrad (kh in {1,3} only — the kernel's row-carry
+        # depth); forward/dgrad identical, so this is gradient-path-only
+        wgrad_mode = (
+            _wgrad_pallas_mode(parts[0])
+            if same_s1 and ks in (1, 3) and not (unfold_bwd or taps_bwd)
+            else ""
+        )
         int8 = (
             _int8_enabled()
-            and not (unfold_bwd or taps_bwd)
+            and not (unfold_bwd or taps_bwd or wgrad_mode)
             and self.in_features >= _INT8_MIN_CHANNELS
             and self.features >= _INT8_MIN_CHANNELS
         )
@@ -415,6 +500,10 @@ class _ConvParams(nn.Module):
                 yi = _folded_conv_same(part.astype(dtype), k, self.fold)
             elif taps_bwd:
                 yi = _conv_same_taps(part.astype(dtype), k, self.fold)
+            elif wgrad_mode:
+                yi = _conv_same_pallas_wgrad(
+                    part.astype(dtype), k, self.fold, wgrad_mode
+                )
             else:
                 if self.fold > 1:
                     k = _fold_conv_kernel(k, (cs,), self.fold)
@@ -942,25 +1031,58 @@ def _gn_stats_mxu_enabled(dtype) -> bool:
     return os.environ.get("NOISEDIFF_GN_STATS", "") == "mxu"
 
 
+## Trace-time training marker for the GN kernel gate. The streaming
+## GN-stats kernels are a measured TRAIN win (+28% step time, crop 512 —
+## BENCH_NOTES round-3) and a measured EVAL loss (~6.5% per UNet eval at
+## the generation shapes: the sampler graph keeps activations in layouts
+## whose XLA reduces are already fine, and the custom-call adds ~1.3 ms
+## per eval — round-3 verdict Weak #1, reproduced on-chip). The train
+## steps (train/state.py) trace their loss/grad under this context; the
+## samplers and eval paths never set it, so the kernels stay out of
+## generation. Trace-time only: the flag is read while jit traces, and
+## every caller owns its jit (the same traced function is never shared
+## across contexts).
+_GN_TRAIN_TRACE = [False]
+
+
+@contextlib.contextmanager
+def gn_train_trace():
+    """Mark the enclosed tracing as a TRAINING step (enables the
+    train-only Pallas GN kernels; see _gn_stats_pallas_mode)."""
+    prev = _GN_TRAIN_TRACE[0]
+    _GN_TRAIN_TRACE[0] = True
+    try:
+        yield
+    finally:
+        _GN_TRAIN_TRACE[0] = prev
+
+
 def _gn_stats_pallas_mode(x):
     """'' (off) | 'tpu' | 'interpret' — whether GN stats stream through the
     Pallas kernel (ops/pallas/gn_stats.py). DEFAULT ON for large
-    activations on single-chip TPU: the conv emitters pin full-res
-    activations to batch-in-sublanes layouts whose XLA stats reduces run
-    ~16x off the HBM roofline (see _gn_stats_mxu_enabled's ledger); the
-    kernel streams them at Mosaic DMA rates instead. Measured in-model
+    activations on single-chip TPU *inside a training-step trace*
+    (gn_train_trace): the conv emitters pin full-res activations to
+    batch-in-sublanes layouts whose XLA stats reduces run ~16x off the
+    HBM roofline (see _gn_stats_mxu_enabled's ledger); the kernel
+    streams them at Mosaic DMA rates instead. Measured in-model
     (scripts/bench_train_ab.py, crop 512 / bs 4, 2026-08-19):
     reduce 331.7 ms/step -> pallas 294.7 ms/step (+12.6%, 3.39 steps/s).
-    NOISEDIFF_GN_STATS=reduce/mxu opts out; =pallas forces the same
-    TPU gate; =pallas-interpret forces interpret mode (CPU tests).
-    Multi-chip routes through the kernel's custom_partitioning wrapper
-    (ops/pallas/gn_stats.gn_stats_p): b/c pass through, h/w are
-    reduction factors, so pjit shards the stream per chip and inserts a
-    psum only when the spatial dims themselves are mesh-sharded."""
+    In the GENERATION graph the same kernel LOSES ~6.5% per UNet eval
+    (round-3 verdict, reproduced: 21.98 vs 20.64 ms/eval at 256^2 bs=8),
+    so outside a train trace the gate stays off and eval keeps XLA's
+    fused reduces. NOISEDIFF_GN_STATS=reduce/mxu opts out everywhere;
+    =pallas forces the TPU gate regardless of context; =pallas-interpret
+    forces interpret mode (CPU tests). Multi-chip routes through the
+    kernel's custom_partitioning wrapper (ops/pallas/gn_stats.gn_stats_p):
+    b/c pass through, h/w are reduction factors, so pjit shards the
+    stream per chip and inserts a psum only when the spatial dims
+    themselves are mesh-sharded."""
     flag = os.environ.get("NOISEDIFF_GN_STATS", "")
     if flag == "pallas-interpret":
         return "interpret"
     if flag not in ("", "pallas"):
+        return ""
+    if flag != "pallas" and not _GN_TRAIN_TRACE[0]:
         return ""
     if jax.default_backend() == "tpu" and x.shape[1] * x.shape[2] >= 4096:
         return "tpu"

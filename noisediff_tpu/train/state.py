@@ -21,6 +21,7 @@ import optax
 from flax import struct
 
 from ..diffusion.gaussian import GaussianDiffusion
+from ..models.blocks import gn_train_trace
 from ..ops import sna as sna_ops
 from .ema import EmaState, ema_update
 
@@ -97,12 +98,19 @@ def make_diffusion_train_step(
     generation_result: str = "noise",
     ema_kwargs: Optional[dict] = None,
     donate: bool = True,
+    ema_in_step: bool = True,
 ):
     """Returns jitted (state, batch, rng) -> (state, metrics).
 
     batch keys (NHWC): 'noise', 'noisy_img', 'clean_img', 'coord',
     'iso_ratio_idx'. generation_result selects the diffusion target
     (trainer_diffusion.py:178-181).
+
+    ema_in_step=False only bumps the EMA call counter inside the step (the
+    params pass through the donation unchanged); the caller owns the
+    every-20th-call lerp via ema.HostEma — the reference's own host-side
+    gating (trainer_diffusion.py:191), saving the ~22 ms/step full-tree
+    EMA read+write the fused form pays on every skipped call.
     """
     ema_kwargs = ema_kwargs or {}
     target_key = {"noise": "noise", "image": "noisy_img"}[generation_result]
@@ -118,10 +126,19 @@ def make_diffusion_train_step(
         def loss_fn(params):
             return diffusion.loss(params, rng, batch[target_key], condition)
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        # gn_train_trace: trace-time marker enabling the train-only Pallas
+        # GN-stats kernels (models/blocks._gn_stats_pallas_mode) — a +28%
+        # step-time win at crop 512 that LOSES ~6.5%/eval in generation
+        with gn_train_trace():
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
-        ema = ema_update(state.ema, params, **ema_kwargs) if state.ema else None
+        if state.ema is None:
+            ema = None
+        elif ema_in_step:
+            ema = ema_update(state.ema, params, **ema_kwargs)
+        else:
+            ema = state.ema.replace(step=state.ema.step + 1)
         new_state = TrainState(
             step=state.step + 1, params=params, opt_state=opt_state, ema=ema
         )
@@ -191,9 +208,10 @@ def make_denoising_train_step(
             metrics["loss_sum"] = loss
             return loss, metrics
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        with gn_train_trace():
+            (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params
+            )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         ema = ema_update(state.ema, params) if state.ema else None

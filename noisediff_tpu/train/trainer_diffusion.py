@@ -39,6 +39,7 @@ from ..utils.logging import ScalarLogger
 from ..utils.profiling import StepTimer
 from . import checkpoint as ckpt
 from .schedules import cosine_epoch_lr
+from .ema import HostEma
 from .state import (
     create_train_state,
     make_diffusion_train_step,
@@ -200,10 +201,15 @@ class Trainer:
                 self.mesh,
                 create_train_state(params, self.optimizer, with_ema=True),
             )
+            # host-scheduled EMA (the reference's own update_every=20 gating,
+            # trainer_diffusion.py:191): the jitted step skips the full-tree
+            # EMA lerp 19/20 steps pay nothing for (~22 ms/step at crop 512)
+            self.ema_host = HostEma()
             self.train_step = make_diffusion_train_step(
                 self.diffusion,
                 self.optimizer,
                 generation_result=getattr(args, "generation_result", "noise"),
+                ema_in_step=False,
             )
             self._restore_train_state()
             if getattr(args, "resume_optim", ""):
@@ -316,6 +322,10 @@ class Trainer:
         steps = 0
         timer = StepTimer()
         rng_train = jax.random.fold_in(self.rng, 1)
+        # sync the host EMA call counter to the device counter ONCE (resume
+        # restores ema.step via the optimizer_G component)
+        if self.state.ema is not None:
+            self.ema_host.reset(int(self.state.ema.step))
 
         for epoch in range(args.start_iter, args.max_iter):
             lr = cosine_epoch_lr(args.lr, args.max_iter, epoch)
@@ -340,6 +350,7 @@ class Trainer:
                 self.state, metrics = self.train_step(
                     self.state, device_batch, rng_train
                 )
+                self.state = self.ema_host.maybe_apply(self.state)
                 timer.tick()
 
                 if j % args.log_freq == 0:

@@ -8,6 +8,12 @@ steps/s per mode.
 Usage:
     python scripts/bench_train_ab.py --modes NOISEDIFF_GN_STATS=reduce,NOISEDIFF_GN_STATS=mxu \
         [--steps 20] [--crop 512] [--batch 4]
+
+The pseudo-var EMA=fused|host switches the EMA execution mode instead of an
+env flag: fused = in-jit branch-free lerp every step; host = ema_in_step=
+False + ema.HostEma (the production trainer path). With --steps 20 every
+timed window contains exactly ONE host apply, so host-mode ms/step is the
+honestly amortised production rate.
 """
 import argparse
 import os
@@ -70,28 +76,44 @@ def main():
         "iso_ratio_idx": cond["iso_ratio_idx"],
     }
 
+    from noisediff_tpu.train.ema import HostEma
+
     for mode in args.modes.split(","):
+        ema_in_step = True
         for kv in mode.split(";"):
             if not kv:
                 continue
             k, _, v = kv.partition("=")
-            if v:
+            if k == "EMA":
+                ema_in_step = v != "host"
+            elif v:
                 os.environ[k] = v
             else:
                 os.environ.pop(k, None)
         state = create_train_state(jax.device_put(host_params), opt,
                                    with_ema=True)
-        step = jax.jit(make_diffusion_train_step(gd, opt), donate_argnums=0)
-        state, m = step(state, batch, rng)  # compile
+        step = jax.jit(
+            make_diffusion_train_step(gd, opt, ema_in_step=ema_in_step),
+            donate_argnums=0,
+        )
+        ema_host = None if ema_in_step else HostEma()
+
+        def one(state):
+            state, m = step(state, batch, rng)
+            if ema_host is not None:
+                state = ema_host.maybe_apply(state)
+            return state, m
+
+        state, m = one(state)  # compile (call 0 also compiles the apply jit)
         key = "diffusion_loss" if "diffusion_loss" in m else "loss_sum"
         float(m[key])
-        state, m = step(state, batch, rng)
+        state, m = one(state)
         float(m[key])
         best = None
         for _ in range(args.reps):
             t0 = time.perf_counter()
             for _ in range(args.steps):
-                state, m = step(state, batch, rng)
+                state, m = one(state)
             float(m[key])
             dt = (time.perf_counter() - t0) / args.steps
             best = dt if best is None else min(best, dt)

@@ -109,6 +109,35 @@ def test_gn_stats_mxu_parity(monkeypatch):
                 np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-5)
 
 
+def test_gn_pallas_gate_is_train_context_only(monkeypatch):
+    """The streaming GN kernels are a train win and a measured ~6.5%/eval
+    GENERATION loss (round-3 verdict Weak #1), so the default gate must
+    require the trace-time training context (train/state.py sets it);
+    sampler/eval traces never enable the kernel. Env flags keep their
+    force/opt-out semantics regardless of context."""
+    from noisediff_tpu.models import blocks
+
+    monkeypatch.setattr(blocks.jax, "default_backend", lambda: "tpu")
+    monkeypatch.delenv("NOISEDIFF_GN_STATS", raising=False)
+    big = jnp.zeros((2, 128, 64, 32))
+    small = jnp.zeros((2, 16, 16, 32))
+    assert blocks._gn_stats_pallas_mode(big) == ""  # eval trace: off
+    with blocks.gn_train_trace():
+        assert blocks._gn_stats_pallas_mode(big) == "tpu"
+        assert blocks._gn_stats_pallas_mode(small) == ""  # size gate holds
+        with blocks.gn_train_trace():  # re-entrant
+            assert blocks._gn_stats_pallas_mode(big) == "tpu"
+        assert blocks._gn_stats_pallas_mode(big) == "tpu"
+    assert blocks._gn_stats_pallas_mode(big) == ""  # context restored
+    monkeypatch.setenv("NOISEDIFF_GN_STATS", "pallas")  # explicit force
+    assert blocks._gn_stats_pallas_mode(big) == "tpu"
+    monkeypatch.setenv("NOISEDIFF_GN_STATS", "reduce")  # opt-out wins
+    with blocks.gn_train_trace():
+        assert blocks._gn_stats_pallas_mode(big) == ""
+    monkeypatch.setenv("NOISEDIFF_GN_STATS", "pallas-interpret")
+    assert blocks._gn_stats_pallas_mode(big) == "interpret"
+
+
 def test_gn_stats_pallas_kernel_and_vjp(monkeypatch):
     """Direct kernel check (interpret mode): gn_stats matches the fp32
     reduce, and gn_stats_vjp's closed-form backward matches autodiff of

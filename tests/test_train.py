@@ -53,6 +53,94 @@ def test_ema_decay_caps_at_beta():
     np.testing.assert_allclose(np.asarray(ema2.params["w"]), 1 - 0.995, rtol=1e-4)
 
 
+def test_host_ema_matches_fused():
+    """HostEma (host-side update_every gating + separate jitted lerp — the
+    production trainer path) must be bit-identical to the branch-free
+    in-jit ema_update across the copy phase, the ramp, skipped calls, and
+    a mid-stream resume of the host counter."""
+    from noisediff_tpu.train.ema import HostEma, ema_apply
+
+    kw = dict(update_after_step=3, update_every=4, beta=0.9)
+    decay_kw = {k: v for k, v in kw.items() if k != "update_every"}
+    rng = np.random.default_rng(0)
+    fused = EmaState.create({"w": jnp.zeros(5)})
+    host_params = jnp.zeros(5)
+    host = HostEma(update_every=4, **decay_kw)
+    host.reset(0)
+    for call in range(30):
+        online = {"w": jnp.asarray(rng.normal(size=5).astype(np.float32))}
+        fused = ema_update(fused, online, **kw)
+        if call == 17:  # resume: a fresh host scheduler synced to the counter
+            host = HostEma(update_every=4, **decay_kw)
+            host.reset(call)
+        # inline what HostEma.maybe_apply does, on a bare params tree
+        apply = host._calls % host.update_every == 0
+        host._calls += 1
+        if apply:
+            host_params = ema_apply(
+                {"w": host_params}, online, jnp.asarray(call), **decay_kw
+            )["w"]
+        np.testing.assert_array_equal(
+            np.asarray(fused.params["w"]), np.asarray(host_params)
+        )
+    assert int(fused.step) == 30
+
+
+def test_host_ema_on_train_state():
+    """End-to-end: make_diffusion_train_step(ema_in_step=False) + HostEma
+    reproduces the fused step's EMA params exactly, and the no-EMA step
+    leaves ema params untouched while bumping the counter."""
+    from noisediff_tpu.train.ema import HostEma
+
+    model = NoiseDiffNet(dim=8, dim_mults=(1, 2))
+    s, b = 16, 2
+    x = jnp.zeros((b, s, s, 4))
+    t = jnp.zeros((b,), jnp.int32)
+    cond = {
+        "clean_img": jnp.zeros((b, s, s, 4)),
+        "position": jnp.zeros((b, s, s, 2)),
+        "iso_ratio_idx": jnp.zeros((b,), jnp.int32),
+    }
+    params = model.init(jax.random.PRNGKey(0), x, t, cond)["params"]
+
+    def apply_fn(p, xx, tt, c):
+        return model.apply({"params": p}, xx, tt, c)
+
+    gd = GaussianDiffusion(
+        apply_fn=apply_fn, schedule=make_schedule("sigmoid2", 10),
+        image_size=s, objective="pred_v",
+    )
+    opt = make_optimizer()
+    # tiny update_after_step/update_every so 5 steps cross copy->ramp
+    kw = dict(update_after_step=1, update_every=2)
+    batch = {
+        "noise": jax.random.normal(jax.random.PRNGKey(1), (b, s, s, 4)) * 0.1,
+        "clean_img": cond["clean_img"],
+        "coord": cond["position"],
+        "iso_ratio_idx": cond["iso_ratio_idx"],
+    }
+    rng = jax.random.PRNGKey(2)
+
+    params2 = jax.tree.map(jnp.array, params)
+    st_f = create_train_state(params, opt, with_ema=True)
+    st_h = create_train_state(params2, opt, with_ema=True)
+    step_f = make_diffusion_train_step(gd, opt, donate=False, ema_kwargs=kw)
+    step_h = make_diffusion_train_step(
+        gd, opt, donate=False, ema_in_step=False
+    )
+    host = HostEma(**kw)
+    host.reset(int(st_h.ema.step))
+    for _ in range(5):
+        st_f, _ = step_f(st_f, batch, rng)
+        st_h, _ = step_h(st_h, batch, rng)
+        st_h = host.maybe_apply(st_h)
+        assert int(st_f.ema.step) == int(st_h.ema.step)
+        for a, c in zip(
+            jax.tree.leaves(st_f.ema.params), jax.tree.leaves(st_h.ema.params)
+        ):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
 # ---------------------------------------------------------------------------
 # LR schedules
 # ---------------------------------------------------------------------------
