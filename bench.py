@@ -73,13 +73,18 @@ def make_cond(b, s, rng):
 
 def timed_fetch(fn, *args, repeats=REPEATS):
     """Wall-clock of fn(*args) with a host fetch of the scalar result."""
+    return min(timed_samples(fn, *args, repeats=repeats))
+
+
+def timed_samples(fn, *args, repeats=REPEATS):
+    """All repeat wall-clocks (compile+warmup excluded), for spread stats."""
     float(fn(*args))  # compile + warmup
-    best = 1e30
+    ts = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         float(fn(*args))
-        best = min(best, time.perf_counter() - t0)
-    return best
+        ts.append(time.perf_counter() - t0)
+    return ts
 
 
 def unet_eval_ms(apply_fn, params, b, s, dtype_tag, n1=2, n2=12):
@@ -282,16 +287,41 @@ def train_steps_per_sec():
         # needs its own state built from an unshared copy of the params
         params_copy = jax.tree.map(jnp.array, params)
         state = create_train_state(params, opt, with_ema=True)
-        step = make_diffusion_train_step(gd, opt)
+        # production step: host-scheduled EMA (trainer_diffusion.py) — the
+        # jitted step only bumps the EMA counter; the full-tree lerp runs
+        # once per 20 steps (ema.HostEma). Published steps/s amortises the
+        # measured apply cost at 1/20 so the number reflects what a real
+        # training run sustains, not the EMA-free inner loop.
+        step = make_diffusion_train_step(gd, opt, ema_in_step=False)
         batch = {
             "noise": jax.random.normal(rng, (b, s, s, 4)) * 0.1,
             "clean_img": cond["clean_img"],
             "coord": cond["position"],
             "iso_ratio_idx": cond["iso_ratio_idx"],
         }
-        out["diffusion_train_steps_per_sec"] = round(
-            steps_per_sec(step, state, batch), 3
-        )
+        sps_raw = steps_per_sec(step, state, batch)
+
+        # EMA apply cost via a chained-lerp scan delta (same methodology as
+        # unet_eval_ms; the fetch reduces over every leaf so no lerp is DCE'd)
+        from noisediff_tpu.train.ema import ema_apply
+
+        ema_tree = jax.tree.map(jnp.array, params_copy)
+
+        @functools.partial(jax.jit, static_argnums=2)
+        def apply_chain(e, p, n):
+            def body(c, _):
+                return ema_apply(c, p, jnp.asarray(1000, jnp.int32)), ()
+            outp, _ = jax.lax.scan(body, e, None, length=n)
+            leaves = jax.tree.leaves(outp)
+            return sum(l.astype(jnp.float32).mean() for l in leaves)
+
+        ta2 = timed_fetch(lambda: apply_chain(ema_tree, params_copy, 2))
+        ta12 = timed_fetch(lambda: apply_chain(ema_tree, params_copy, 12))
+        t_apply = max((ta12 - ta2) / 10, 0.0)
+        out["ema_apply_ms"] = round(t_apply * 1e3, 2)
+        out["diffusion_train_steps_per_sec_noema"] = round(sps_raw, 3)
+        sps = 1.0 / (1.0 / sps_raw + t_apply / 20.0)
+        out["diffusion_train_steps_per_sec"] = round(sps, 3)
 
         # same crop at bs=8: the batch-in-sublanes conv emitters want B=8,
         # so per-SAMPLE training throughput is ~1.75x the shipped bs=4
@@ -306,7 +336,8 @@ def train_steps_per_sec():
             "iso_ratio_idx": cond8["iso_ratio_idx"],
         }
         state8 = create_train_state(params_copy, opt, with_ema=True)
-        sps8 = steps_per_sec(step, state8, batch8)
+        sps8_raw = steps_per_sec(step, state8, batch8)
+        sps8 = 1.0 / (1.0 / sps8_raw + t_apply / 20.0)
         out["diffusion_train_samples_per_sec_bs8"] = round(b8 * sps8, 2)
     except Exception as exc:  # keep the headline alive on train-bench failure
         out["diffusion_train_steps_per_sec_error"] = str(exc)[:200]
@@ -472,7 +503,12 @@ def main():
             p, r, (4, PATCH, PATCH, 4), c, sampling_timesteps=BASELINE_PROBE_STEPS
         ).astype(jnp.float32).mean()
     )
-    t_probe = timed_fetch(probe, params32, rng, cond4, repeats=1)
+    # median of 3 repeats + recorded spread: single probes on this tunnel
+    # read up to ~25% fast (BENCH_NOTES), which made vs_baseline swing 25%
+    # between rounds on baseline noise alone (round-3 verdict Weak #5)
+    probe_ts = sorted(timed_samples(probe, params32, rng, cond4, repeats=3))
+    t_probe = probe_ts[len(probe_ts) // 2]
+    baseline_spread = (probe_ts[-1] - probe_ts[0]) / t_probe
     per_eval = t_probe / BASELINE_PROBE_STEPS  # one UNet eval per step
     baseline_patches_per_sec = 4.0 / (per_eval * 1000.0)
 
@@ -558,6 +594,18 @@ def main():
         t512 = timed_fetch(sample5, params5, rng, cond5, repeats=1)
         extras["gen512_patches_per_sec"] = round(b512 / t512, 3)
         extras["gen512_equiv256_patches_per_sec"] = round(4 * b512 / t512, 3)
+
+        # the number a reference-pipeline user cares about: KLD-certified
+        # sampler (DPM-Solver++(2M), 25 steps — LEARNING_GATE_TPU.json) at
+        # the reference's shipped generation crop (512^2, script.sh:10)
+        sample5_dpm = jax.jit(
+            lambda p, r, c: gd5.dpm_solver_sample(
+                p, r, (b512, s512, s512, 4), c,
+                sampling_timesteps=dpm_steps, fold_io=f5,
+            ).astype(jnp.float32).mean()
+        )
+        t512d = timed_fetch(sample5_dpm, params5, rng, cond5, repeats=1)
+        extras["gen512_dpm_patches_per_sec"] = round(b512 / t512d, 3)
         os.environ["NOISEDIFF_PACKED_HEADS"] = "0"
     except Exception as exc:
         extras["gen512_error"] = str(exc)[:200]
@@ -571,6 +619,7 @@ def main():
                 "vs_baseline": round(patches_per_sec / baseline_patches_per_sec, 2),
                 "baseline": round(baseline_patches_per_sec, 4),
                 "baseline_unit": "patches/s (fp32 DDPM-1000-equivalent, bs=4, reference-shipped config)",
+                "baseline_spread": round(baseline_spread, 4),
                 "batch_seconds": round(t_opt, 3),
                 **(
                     {"batch_seconds_fused_tail": round(t_fused, 3),
