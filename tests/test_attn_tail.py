@@ -145,8 +145,10 @@ def test_packed_heads_flag_is_exact(monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_packed_head_posemb_family_is_exact(monkeypatch):
-    """The PosEmbUNet final_conv packed head matches the default path."""
+    """The PosEmbUNet final_conv packed head matches the default path.
+    slow: two whole-model UNet_PosEmbV2 inits+forwards (~59 s loaded)."""
     from noisediff_tpu.models.others import UNet_PosEmbV2
 
     model = UNet_PosEmbV2(dim=8).clone(lane_fold=True, pos_dim=4)

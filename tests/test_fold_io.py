@@ -79,9 +79,11 @@ def test_p_sample_loop_fold_io_runs():
     assert np.isfinite(np.asarray(y)).all()
 
 
+@pytest.mark.slow
 def test_dpm_fold_io_parity():
     """DPM-Solver++ is deterministic given x_T, so folded-carry parity is
-    exact (up to fp reassociation of the boundary reshapes)."""
+    exact (up to fp reassociation of the boundary reshapes). slow: two
+    whole-model 4-step sampler scans (~67 s on a loaded 1-core box)."""
     gd, params, cond, shape = _setup()
     rng = jax.random.PRNGKey(9)
     x_t = jax.random.normal(jax.random.PRNGKey(10), shape, jnp.float32)

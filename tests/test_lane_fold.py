@@ -79,11 +79,13 @@ def test_fold_nonsquare_input():
     assert np.isfinite(np.asarray(out)).all()
 
 
+@pytest.mark.slow
 def test_noisediffnet_fold_parity_small_dim():
     """dim=8 reaches the identity-residual-on-concat branch in a FOLDED
     up stage (x_ch + skip_ch == dim_out at a dim_out < 96 stage) — the
     folded concat must interleave per fold slot, not append (regression:
-    a plain concat silently misaligned the residual channels)."""
+    a plain concat silently misaligned the residual channels).
+    slow: two whole-model forwards (~48 s loaded)."""
     b, s = 1, 16
     x = jax.random.normal(jax.random.PRNGKey(0), (b, s, s, 4))
     t = jnp.array([5])
@@ -186,9 +188,11 @@ def test_conv_same_taps_parity():
         np.testing.assert_allclose(dk1, dk2, rtol=1e-5, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_noisediffnet_taps_wgrad_grad_parity(monkeypatch):
     """Whole-model gradients with NOISEDIFF_TAPS_WGRAD on must match the
-    flag-off path (fp reassociation tolerance only)."""
+    flag-off path (fp reassociation tolerance only). slow by pytest.ini's
+    own definition: whole-model grad parity, ~215 s on a loaded box."""
     monkeypatch.setenv("NOISEDIFF_TAPS_WGRAD", "0")
     b, s = 1, 16
     x = jax.random.normal(jax.random.PRNGKey(0), (b, s, s, 4))
