@@ -590,6 +590,7 @@ class _DenseParams(nn.Module):
             # folded 4-D path: run as a folded 1x1 conv — a block-diagonal
             # dense kernel gets rewritten by XLA into activation-sized
             # masked selects (profiled ~0.8ms each), the conv path doesn't
+            wgrad_mode = _wgrad_pallas_mode(x)
             if _unfold_bwd_enabled():
                 y = _folded_conv_same(
                     x.astype(dtype), kernel[None, None], self.fold
@@ -597,6 +598,10 @@ class _DenseParams(nn.Module):
             elif _taps_wgrad_enabled():
                 y = _conv_same_taps(
                     x.astype(dtype), kernel[None, None], self.fold
+                )
+            elif wgrad_mode:
+                y = _conv_same_pallas_wgrad(
+                    x.astype(dtype), kernel[None, None], self.fold, wgrad_mode
                 )
             else:
                 k = _fold_conv_kernel(

@@ -148,6 +148,29 @@ def test_conv_wgrad_partitioned_on_mesh(monkeypatch):
             ).block_until_ready()
 
 
+def test_dense_folded_4d_routes_and_matches(monkeypatch):
+    """The folded Dense 4-D path (1x1-conv lowering) routes through the
+    Pallas wgrad too; value and grads match the default path."""
+    from noisediff_tpu.models.blocks import Dense
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 2 * 12)).astype(np.float32))
+    m = Dense(10, fold=2)
+    p = m.init(jax.random.PRNGKey(0), x)
+
+    def loss(pp, xx):
+        return jnp.sum(jnp.sin(m.apply(pp, xx)))
+
+    outs = {}
+    for flag in ("xla", "pallas-interpret"):
+        monkeypatch.setenv("NOISEDIFF_WGRAD", flag)
+        outs[flag] = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
+    (v0, g0), (v1, g1) = outs["xla"], outs["pallas-interpret"]
+    np.testing.assert_allclose(v0, v1, rtol=1e-6)
+    for t0, t1 in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(t0, t1, rtol=1e-4, atol=1e-4)
+
+
 def test_wgrad_gate_is_train_context_only(monkeypatch):
     """NOISEDIFF_WGRAD=auto: the Pallas wgrad only activates inside a
     training trace on TPU at generation-scale activations — mirroring the
