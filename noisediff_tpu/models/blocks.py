@@ -331,6 +331,15 @@ def _wgrad_pallas_mode(x):
     return ""
 
 
+def _wgrad_channels_ok(ci_f: int, co_f: int) -> bool:
+    """Narrow-channel convs stay on XLA's wgrad: Mosaic pads the lane dim
+    to 128, so a C=4 operand occupies 32x its logical VMEM (a pos_enc
+    conv blew the 16M scoped-vmem limit), and tiny-channel tap dots
+    underfill the MXU anyway. The hot blocks this kernel targets run
+    folded 96x96."""
+    return ci_f >= 32 and co_f >= 32
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
 def _conv_same_pallas_wgrad(x, kernel, fold, interpret):
     """stride-1 SAME NHWC conv with the reference (unfolded, HWIO)
@@ -478,12 +487,18 @@ class _ConvParams(nn.Module):
         unfold_bwd = self.fold > 1 and same_s1 and _unfold_bwd_enabled()
         taps_bwd = same_s1 and ks % 2 == 1 and _taps_wgrad_enabled()
         # streaming Pallas wgrad (kh in {1,3} only — the kernel's row-carry
-        # depth); forward/dgrad identical, so this is gradient-path-only
+        # depth); forward/dgrad identical, so this is gradient-path-only.
+        # Narrow-channel convs keep XLA on real TPU (lane padding + MXU
+        # fill — interpret-mode tests still exercise the kernel at any C).
         wgrad_mode = (
             _wgrad_pallas_mode(parts[0])
             if same_s1 and ks in (1, 3) and not (unfold_bwd or taps_bwd)
             else ""
         )
+        if wgrad_mode == "tpu" and not _wgrad_channels_ok(
+            min(p.shape[-1] for p in parts), self.features * self.fold
+        ):
+            wgrad_mode = ""
         int8 = (
             _int8_enabled()
             and not (unfold_bwd or taps_bwd or wgrad_mode)
@@ -591,6 +606,10 @@ class _DenseParams(nn.Module):
             # dense kernel gets rewritten by XLA into activation-sized
             # masked selects (profiled ~0.8ms each), the conv path doesn't
             wgrad_mode = _wgrad_pallas_mode(x)
+            if wgrad_mode == "tpu" and not _wgrad_channels_ok(
+                x.shape[-1], self.features * self.fold
+            ):
+                wgrad_mode = ""
             if _unfold_bwd_enabled():
                 y = _folded_conv_same(
                     x.astype(dtype), kernel[None, None], self.fold

@@ -121,8 +121,16 @@ def conv_wgrad(g, x, kh: int, kwf: int, interpret: bool = False):
     assert kwf in (1, 2, 3), kwf
     b, h, w, ci = x.shape
     co = g.shape[-1]
-    # two streamed tensors + shifted temporaries: quarter the stats budget
-    r = _tile_rows(h, w * b, max(ci, co), TILE_ELEM_LIMIT // 4)
+    # two streamed tensors + shifted temporaries: quarter the stats budget.
+    # Budget against the PADDED VMEM residency, not logical elements: the
+    # (8, 128) tile pads B up to 8 sublanes and C up to 128 lanes, so a
+    # narrow-channel block occupies up to 32x its logical size (measured:
+    # a C=4 operand blew the 16M scoped-vmem limit with a logical ~128K
+    # block). Callers should also prefer XLA for narrow convs — see
+    # blocks._wgrad_channels_ok.
+    pad_b = -(-b // 8) * 8
+    pad_c = -(-max(ci, co) // 128) * 128
+    r = _tile_rows(h, w * pad_b, pad_c, TILE_ELEM_LIMIT // 4)
     xt = jnp.transpose(x, (1, 2, 0, 3))  # layout bitcasts (see module doc)
     gt = jnp.transpose(g, (1, 2, 0, 3))
     out = pl.pallas_call(

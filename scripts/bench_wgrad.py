@@ -161,6 +161,12 @@ def main():
     def f_taps(x, kk):
         return taps_conv(x, kk, 2)
 
+    def f_pallas(x, kk):
+        # round-4 streaming Pallas wgrad (ops/pallas/conv_wgrad.py)
+        from noisediff_tpu.models.blocks import _conv_same_pallas_wgrad
+
+        return _conv_same_pallas_wgrad(x, kk, 2, "tpu")
+
     def f_kbarrier(x, kk):
         # barrier the FOLDED kernel: autodiff then computes the folded-domain
         # wgrad as a plain conv and applies the fold-selector transpose to the
@@ -188,13 +194,18 @@ def main():
         assert rel.max() < 0.1, (tag, rel.max())
     print("parity ok (bf16 sanity)", flush=True)
 
-    for name, fn, x in (
+    only = os.environ.get("BENCH_WGRAD_ONLY", "")
+    variants = (
         ("folded-autodiff    ", f_folded, xf),
         ("unfolded-autodiff  ", f_unfolded, xu),
         ("custom-unfold-bwd  ", f_custom, xf),
         ("folded-kernel-bar  ", f_kbarrier, xf),
         ("per-tap-einsum-bwd ", f_taps, xf),
-    ):
+        ("pallas-stream-wgrad", f_pallas, xf),
+    )
+    for name, fn, x in variants:
+        if only and only not in name:
+            continue
         t = timed_scan_delta(grad_step(fn), x, k)
         print(f"{name}: {t * 1e3:.3f} ms/grad-eval", flush=True)
 
