@@ -315,17 +315,23 @@ def _wgrad_pallas_mode(x):
     + training trace + h*w >= 4096 (wgrad only exists under
     differentiation anyway); =xla / unset keeps XLA's lowering. OPT-IN
     until the crop-512 A/B on the real chip lands (the round-3 lesson:
-    never default-on an unmeasured path)."""
+    never default-on an unmeasured path).
+
+    NOISEDIFF_WGRAD_MIN_HW (default 4096) raises the activation-area
+    floor — e.g. 131072 restricts the kernel to the crop-512 full-res
+    stages (final_res_block / pos_block2 and the first down stage), the
+    convs whose XLA wgrads the round-2/3 profiles flagged."""
     flag = os.environ.get("NOISEDIFF_WGRAD", "xla")
+    min_hw = int(os.environ.get("NOISEDIFF_WGRAD_MIN_HW", "4096"))
     if flag == "pallas-interpret":
         return "interpret"
     if flag == "pallas" and jax.default_backend() == "tpu":
-        return "tpu"
+        return "tpu" if x.shape[1] * x.shape[2] >= min_hw else ""
     if flag == "auto":
         if (
             _GN_TRAIN_TRACE[0]
             and jax.default_backend() == "tpu"
-            and x.shape[1] * x.shape[2] >= 4096
+            and x.shape[1] * x.shape[2] >= min_hw
         ):
             return "tpu"
     return ""

@@ -38,6 +38,7 @@ cuDNN serves on GPU; on TPU this kernel replaces XLA's wgrad-as-conv
 lowering for the folded train graph.
 """
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -80,8 +81,11 @@ def _kernel(x_ref, g_ref, out_ref, xprev_ref, gprev_ref, *, kh, kwf):
     # "shifted down" = [prev block's last row; this block minus its last],
     # exact across block boundaries via the sequential-grid carry.
     if kh == 3:
-        x_m1 = jnp.concatenate([xprev_ref[...], x[:-1]], axis=0)
-        g_m1 = jnp.concatenate([gprev_ref[...], g[:-1]], axis=0)
+        # concat-then-slice (not concat([prev, t[:-1]])): at the crop-512
+        # full-res shape the VMEM budget yields r=1 row tiles, where
+        # t[:-1] is a zero-size slice Mosaic cannot type.
+        x_m1 = jnp.concatenate([xprev_ref[...], x], axis=0)[:r]
+        g_m1 = jnp.concatenate([gprev_ref[...], g], axis=0)[:r]
         pairs = [(x_m1, g), (x, g), (x, g_m1)]  # di = -1, 0, +1
     else:
         pairs = [(x, g)]
@@ -130,7 +134,11 @@ def conv_wgrad(g, x, kh: int, kwf: int, interpret: bool = False):
     # blocks._wgrad_channels_ok.
     pad_b = -(-b // 8) * 8
     pad_c = -(-max(ci, co) // 128) * 128
-    r = _tile_rows(h, w * pad_b, pad_c, TILE_ELEM_LIMIT // 4)
+    # NOISEDIFF_WGRAD_TILE_BOOST multiplies the row-tile budget (A/B knob:
+    # at the crop-512 hot shape the default budget yields r=1 → a
+    # 512-step grid; boost 2 gives r=2 at ~9 MB VMEM residency)
+    boost = int(os.environ.get("NOISEDIFF_WGRAD_TILE_BOOST", "1"))
+    r = _tile_rows(h, w * pad_b, pad_c, (TILE_ELEM_LIMIT * boost) // 4)
     xt = jnp.transpose(x, (1, 2, 0, 3))  # layout bitcasts (see module doc)
     gt = jnp.transpose(g, (1, 2, 0, 3))
     out = pl.pallas_call(
