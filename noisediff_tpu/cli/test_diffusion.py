@@ -33,6 +33,11 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--visualize_img", action="store_true")
     parser.add_argument("--visualize_noise", action="store_true")
     parser.add_argument("--save_npy", action="store_true")
+    parser.add_argument("--skip_existing", action="store_true",
+                        help="resume bulk generation: skip batches whose "
+                             "npy outputs already exist (TPU-native "
+                             "extension — missing batches regenerate "
+                             "bit-identically via the per-batch PRNG)")
     parser.add_argument("--with_camera_settings", action="store_true")
     parser.add_argument("--beta_schedule", default="sigmoid", type=str)
     parser.add_argument("--temperature", default=0.1, type=float)

@@ -431,7 +431,16 @@ class Trainer:
         return self._sample_fn_cache[batch_size]
 
     def test(self):
-        """Bulk noise generation with npy export (trainer_diffusion.py:240-325)."""
+        """Bulk noise generation with npy export (trainer_diffusion.py:240-325).
+
+        --skip_existing (TPU-native extension; the reference restarts bulk
+        generation from scratch after a crash): batches whose npy outputs
+        are all already on disk are skipped without touching the device.
+        Output names are deterministic functions of the (rank-local) grid
+        walk, and the per-batch PRNG is fold_in(rng, batch_index), so a
+        resumed run regenerates any missing batch bit-identically to an
+        uninterrupted one — preemption-safe generation on shared TPU pools
+        (SURVEY §5 failure recovery)."""
         args = self.args
         save_path = args.save_folder
         npy_path = os.path.join(save_path, "npy")
@@ -456,11 +465,38 @@ class Trainer:
         params = self.params
         rng = jax.random.fold_in(self.rng, 999)
         npy_num = 0
+        n_skipped = 0
         t0 = time.time()
 
         for bidx, batch in enumerate(self.test_dataloader):
             n = batch["coord"].shape[0]
             bs = args.batch_size
+
+            # output names are a pure function of the grid walk — compute
+            # them up front so --skip_existing can elide the device call
+            names = []
+            if getattr(args, "save_npy", False):
+                for i in range(n):
+                    image_coord = batch["image_coord"][i]
+                    if not getattr(args, "dark_frame", False):
+                        clean_name = batch["clean_name"][i].split(".ARW")[0].split(".npy")[0]
+                        noisy_name = batch.get("noisy_name", batch["clean_name"])[i]
+                        noisy_name = noisy_name.split(".ARW")[0].split(".npy")[0]
+                        names.append(f"{clean_name}+{noisy_name}+{image_coord}.npy")
+                    else:
+                        iso_i = int(batch["iso"][i])
+                        ratio_i = int(batch["ratio"][i])
+                        names.append(
+                            f"{npy_num + i:05d}_{iso_i}_{ratio_i}+{image_coord}.npy"
+                        )
+            if (
+                names
+                and getattr(args, "skip_existing", False)
+                and all(os.path.exists(os.path.join(out_dir, nm)) for nm in names)
+            ):
+                npy_num += n
+                n_skipped += n
+                continue
 
             def pad(x):
                 if x.shape[0] == bs:
@@ -486,27 +522,17 @@ class Trainer:
             output = sample_fn(params, rng_b, condition)
             output = np.asarray(output[:n])  # drop padding
 
-            if getattr(args, "save_npy", False):
-                for i in range(n):
-                    image_coord = batch["image_coord"][i]
-                    if not getattr(args, "dark_frame", False):
-                        clean_name = batch["clean_name"][i].split(".ARW")[0].split(".npy")[0]
-                        noisy_name = batch.get("noisy_name", batch["clean_name"])[i]
-                        noisy_name = noisy_name.split(".ARW")[0].split(".npy")[0]
-                        save_name = f"{clean_name}+{noisy_name}+{image_coord}.npy"
-                    else:
-                        iso_i = int(batch["iso"][i])
-                        ratio_i = int(batch["ratio"][i])
-                        save_name = f"{npy_num:05d}_{iso_i}_{ratio_i}+{image_coord}.npy"
-                    # reference-compatible CHW layout (trainer_diffusion.py:317)
-                    write_q.put((save_name, output[i].transpose(2, 0, 1)))
-                    npy_num += 1
+            for i, save_name in enumerate(names):
+                # reference-compatible CHW layout (trainer_diffusion.py:317)
+                write_q.put((save_name, output[i].transpose(2, 0, 1)))
+            npy_num += len(names)
 
         write_q.put(None)
         wt.join()
         if self.rank <= 0:
             logging.info(
-                "generated %d patches in %.1fs", npy_num, time.time() - t0
+                "generated %d patches in %.1fs (%d already on disk, skipped)",
+                npy_num - n_skipped, time.time() - t0, n_skipped,
             )
 
     # ------------------------------------------------------------------

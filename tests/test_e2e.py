@@ -194,3 +194,52 @@ def test_generation_without_resume(sid_tree):
     )
     npys = glob.glob(str(gen_root / "ISO800_Ratio250" / "npy" / "generated" / "*.npy"))
     assert len(npys) > 0
+
+
+@pytest.mark.slow
+def test_generation_skip_existing_resume(sid_tree):
+    """--skip_existing (TPU-native extension, trainer_diffusion.Trainer.test):
+    a re-run over a complete output directory rewrites nothing, and a run
+    over a directory with one file deleted regenerates it BIT-IDENTICALLY
+    (per-batch fold_in PRNG makes batch outputs independent of which other
+    batches were skipped)."""
+    from noisediff_tpu.cli import test_diffusion as td
+
+    gen_root = sid_tree / "generated_skipexist"
+    argv = [
+        "--name", "ISO800_Ratio250",
+        "--testset", "NoiseImageGenerationDataset",
+        "--net_name", "NoiseDiffNet",
+        "--beta_schedule", "sigmoid2",
+        "--positional_encoding",
+        "--with_camera_settings",
+        "--save_npy",
+        "--skip_existing",
+        "--dim", "16",
+        "--crop_size", "16",
+        "--batch_size", "2",
+        "--diffusion_steps", "8",
+        "--sampling_timesteps", "2",
+        "--iso", "800",
+        "--ratio", "250",
+        "--save_folder", str(gen_root),
+        *_common_flags(sid_tree),
+    ]
+    td.main(argv)
+    out_dir = gen_root / "ISO800_Ratio250" / "npy" / "generated"
+    npys = sorted(glob.glob(str(out_dir / "*.npy")))
+    assert len(npys) > 1
+    before = {p: (os.path.getmtime(p), np.load(p).copy()) for p in npys}
+
+    # complete directory: nothing is rewritten
+    td.main(argv)
+    for p in npys:
+        assert os.path.getmtime(p) == before[p][0], "existing npy was rewritten"
+
+    # delete one file: only its batch regenerates, bit-identically
+    victim = npys[0]
+    os.remove(victim)
+    td.main(argv)
+    assert os.path.exists(victim)
+    after = np.load(victim)
+    np.testing.assert_array_equal(after, before[victim][1])
