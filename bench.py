@@ -424,9 +424,12 @@ def main():
             t_fused = None
     patches_per_sec = BATCH / t_opt
 
-    # framework extension: DPM-Solver++(2M) at 25 steps (quality-comparable
-    # to DDIM-100 in the diffusion literature; see diffusion/gaussian.py)
-    dpm_steps = int(os.environ.get("BENCH_DPM_STEPS", 25))
+    # framework extension: DPM-Solver++(2M) at the certified production
+    # step count — 15 since round 4 (KLD sweep vs DDIM-50 from the same
+    # trained checkpoint: 25->0.61x, 20->0.73x, 15->0.84x, 10->1.26x
+    # against the <=1.2x bar; DPM_STEP_SWEEP.json). dpm_solver_steps in
+    # the output JSON records the step count a capture used.
+    dpm_steps = int(os.environ.get("BENCH_DPM_STEPS", 15))
     sample_dpm = jax.jit(
         lambda p, r, c: gd.dpm_solver_sample(
             p, r, shape, c, sampling_timesteps=dpm_steps, fold_io=fold_io

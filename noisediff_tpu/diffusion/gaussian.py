@@ -439,10 +439,16 @@ class GaussianDiffusion:
         if steps is None:
             import logging
 
-            steps = 25
+            # production default. KLD-certified at TPU scale against the
+            # reference protocol from the same trained checkpoint
+            # (DPM_STEP_SWEEP.json, 2026-08-21): vs DDIM-50's KLD the
+            # ratios are 25->0.61x, 20->0.73x, 15->0.84x (all better than
+            # DDIM), 10->1.26x (fails the <=1.2x bar) — 15 is the knee.
+            steps = 15
             logging.getLogger("noisediff").warning(
                 "dpm_solver_sample: no step count given (neither "
-                "sampling_timesteps arg nor schedule default); using 25"
+                "sampling_timesteps arg nor schedule default); using the "
+                "KLD-certified default 15"
             )
 
         # time grid: same construction as DDIM (reference :409-411), so step

@@ -1,0 +1,76 @@
+"""Certify DPM-Solver++(2M) at fewer steps from an existing gate checkpoint.
+
+The learning gate (scripts/learning_gate.py) certifies the production
+DPM-25 fast path by regenerating the gate's (ISO, ratio) noise from the
+trained checkpoint and scoring it under the reference KLD protocol
+(/root/reference/utils/util.py:188-256). Round 4's run left ~2x of
+quality headroom (DPM-25 KLD 0.61x of DDIM-50's, bar <=1.2x) — this
+sweep reuses the SAME trained checkpoint and synthetic SID tree to score
+DPM at fewer step counts, i.e. higher certified production rates, with
+zero retraining.
+
+Usage (after a --keep'd or still-present learning_gate run):
+    python scripts/dpm_step_sweep.py --workdir /tmp/gate_r4 \
+        --steps 20,15,10 --out DPM_STEP_SWEEP.json
+"""
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from learning_gate import SCALES, run_generation, run_kld  # noqa: E402
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True,
+                    help="an existing learning_gate workdir (trained "
+                         "snapshot + synthetic SID tree)")
+    ap.add_argument("--scale", default="tpu", choices=sorted(SCALES))
+    ap.add_argument("--steps", default="20,15,10")
+    ap.add_argument("--out", default="")
+    args = ap.parse_args(argv)
+
+    cfg = dict(SCALES[args.scale])
+    sid = os.path.join(args.workdir, "SID")
+    snap = os.path.join(args.workdir, "logs", "weights", "gate_diff", "snapshot")
+    ema = os.path.join(snap, "ema_final")
+    resume = ema if os.path.isdir(ema) or os.path.exists(ema + ".npz") else \
+        os.path.join(snap, "net_final")
+    assert os.path.isdir(sid), f"no SID tree under {args.workdir}"
+    assert os.path.exists(resume) or os.path.isdir(resume), resume
+
+    # reference KLD of the checkpoint's certified samplers, for the ratios
+    gate_json = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "..", "LEARNING_GATE_TPU.json")
+    ddim_kld = None
+    if os.path.exists(gate_json):
+        with open(gate_json) as f:
+            g = json.load(f)
+        ddim_kld = g.get("kld_trained", {}).get("kld_symmetric")
+
+    result = {"scale": args.scale, "resume": resume,
+              "ddim_kld_symmetric": ddim_kld, "sweep": []}
+    for n in [int(s) for s in args.steps.split(",") if s]:
+        gen = run_generation(cfg, args.workdir, sid, f"gen_dpm{n}",
+                             resume=resume, sampler="dpm", steps=n)
+        kld = run_kld(args.workdir, sid, gen)
+        row = {"dpm_steps": n, "kld": kld,
+               "kld_symmetric": kld["kld_symmetric"]}
+        if ddim_kld:
+            row["vs_ddim_ratio"] = kld["kld_symmetric"] / ddim_kld
+        result["sweep"].append(row)
+        print(json.dumps(row), flush=True)
+
+    print(json.dumps(result))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+    return result
+
+
+if __name__ == "__main__":
+    main()

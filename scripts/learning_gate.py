@@ -50,11 +50,11 @@ SCALES = {
                  lsid_width=8, den_epochs=60, den_lr=1e-3,
                  den_crop=16, gen_batch=16),
     "small": dict(fh=192, fw=256, n_train=6, n_test=2, dim=32, crop=32,
-                  epochs=80, batch=8, T=256, ddim=25, dpm=25, lr=3e-4,
+                  epochs=80, batch=8, T=256, ddim=25, dpm=15, lr=3e-4,
                   lsid_width=8, den_epochs=30, den_lr=1e-3,
                   den_crop=32, gen_batch=16),
     "tpu": dict(fh=512, fw=768, n_train=8, n_test=3, dim=48, crop=64,
-                epochs=800, batch=16, T=1000, ddim=50, dpm=25, lr=2e-4,
+                epochs=800, batch=16, T=1000, ddim=50, dpm=15, lr=2e-4,
                 lsid_width=16, den_epochs=150, den_lr=5e-4,
                 den_crop=64, gen_batch=32),
 }
@@ -258,9 +258,10 @@ def main(argv=None):
 
     ## 3b. DPM-Solver++(2M) quality certification (round-2 verdict Weak #3):
     ## regenerate the same (ISO, ratio) noise from the SAME checkpoint with
-    ## the production fast path (--sampler dpm, 25 steps, packed heads on —
-    ## the config bench.py publishes at ~15.7 patches/s) and compare its KLD
-    ## against the DDIM generation under the reference protocol.
+    ## the production fast path (--sampler dpm at the certified default
+    ## step count — 15 since round 4, see scripts/dpm_step_sweep.py — the
+    ## config bench.py publishes) and compare its KLD against the DDIM
+    ## generation under the reference protocol.
     kld_dpm, dpm_error = None, None
     if cfg["dpm"] > 0:
         try:
