@@ -172,6 +172,7 @@ def test_packed_head_posemb_family_is_exact(monkeypatch):
     )
 
 
+@pytest.mark.slow
 def test_fused_heads_flag_falls_back_off_tpu(monkeypatch):
     """NOISEDIFF_FUSED_HEADS=1 on a non-TPU backend must take the XLA path
     (identical output), not invoke Mosaic (review regression guard)."""

@@ -86,6 +86,7 @@ def test_host_ema_matches_fused():
     assert int(fused.step) == 30
 
 
+@pytest.mark.slow
 def test_host_ema_on_train_state():
     """End-to-end: make_diffusion_train_step(ema_in_step=False) + HostEma
     reproduces the fused step's EMA params exactly, and the no-EMA step
