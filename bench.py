@@ -25,7 +25,10 @@ import json
 import os
 import time
 
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/noisediff_jax_cache_tpu")
+# persistent XLA cache: the env var does not reach jax.config on this
+# runtime — utils/compilation_cache.enable() sets it programmatically
+from noisediff_tpu.utils.compilation_cache import enable as _enable_cache  # noqa: E402
+_enable_cache()
 
 import functools
 

@@ -46,6 +46,9 @@ def add_device_flags(parser) -> None:
 def init_distributed(args) -> None:
     """Multi-host setup: jax.distributed from the TPU environment (replaces
     dist.init_process_group('nccl') — train_diffusion.py:18-25)."""
+    from ..utils.compilation_cache import enable as _enable_cache
+
+    _enable_cache()  # every CLI goes through here before compiling anything
     if args.launcher == "none":
         args.dist = False
         args.rank = -1

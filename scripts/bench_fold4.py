@@ -15,7 +15,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/noisediff_jax_cache_tpu")
+# persistent XLA cache: the env var does not reach jax.config on this
+# runtime — utils/compilation_cache.enable() sets it programmatically
+from noisediff_tpu.utils.compilation_cache import enable as _enable_cache  # noqa: E402
+_enable_cache()
 
 import jax
 import jax.numpy as jnp

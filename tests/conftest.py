@@ -27,5 +27,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax  # noqa: E402  (must come after the env setup above)
 
 jax.config.update("jax_platforms", "cpu")
+# NOTE on the cache env vars above: they do NOT reach jax.config on this
+# jax version (config stays None), so the CPU suite runs cold compiles.
+# That is deliberate — reloading XLA:CPU AOT results trips a
+# machine-feature mismatch ("could lead to ... SIGILL"); the programmatic
+# persistent cache (utils/compilation_cache.enable) is TPU-only.
 assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 assert len(jax.devices()) == 8, "expected 8 virtual CPU devices for mesh tests"
