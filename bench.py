@@ -342,6 +342,54 @@ def train_steps_per_sec():
         sps8_raw = steps_per_sec(step, state8, batch8)
         sps8 = 1.0 / (1.0 / sps8_raw + t_apply / 20.0)
         out["diffusion_train_samples_per_sec_bs8"] = round(b8 * sps8, 2)
+
+        # per-chip bs=16: the last open per-SAMPLE train lever (round-4
+        # verdict Weak #5) — does further batch amortisation of the
+        # ~33 ms/step fixed costs survive the HBM wall? Try the plain
+        # (remat=False) step first; on ResourceExhausted fall back to the
+        # remat'd model; record whichever ran — or the OOM itself.
+        try:
+            b16 = 16
+            cond16 = make_cond(b16, s, rng)
+            batch16 = {
+                "noise": jax.random.normal(rng, (b16, s, s, 4)) * 0.1,
+                "clean_img": cond16["clean_img"],
+                "coord": cond16["position"],
+                "iso_ratio_idx": cond16["iso_ratio_idx"],
+            }
+            try:
+                state16 = create_train_state(
+                    jax.tree.map(jnp.array, params_copy), opt, with_ema=True
+                )
+                sps16_raw = steps_per_sec(step, state16, batch16)
+                out["diffusion_train_bs16_remat"] = False
+            except Exception as exc16:
+                msg = str(exc16)
+                if "RESOURCE_EXHAUSTED" not in msg and "Resource" not in msg:
+                    raise
+                out["diffusion_train_bs16_oom_noremat"] = msg[:160]
+                model_r = NoiseDiffNet(dim=48, dtype=jnp.bfloat16, remat=True)
+
+                def apply_r(p, xx, tt, c):
+                    return model_r.apply({"params": p}, xx, tt, c)
+
+                gd_r = GaussianDiffusion(
+                    apply_fn=apply_r,
+                    schedule=make_schedule("sigmoid2", 1000),
+                    image_size=s, objective="pred_v",
+                )
+                step_r = make_diffusion_train_step(
+                    gd_r, opt, ema_in_step=False
+                )
+                state16 = create_train_state(
+                    jax.tree.map(jnp.array, params_copy), opt, with_ema=True
+                )
+                sps16_raw = steps_per_sec(step_r, state16, batch16)
+                out["diffusion_train_bs16_remat"] = True
+            sps16 = 1.0 / (1.0 / sps16_raw + t_apply / 20.0)
+            out["diffusion_train_samples_per_sec_bs16"] = round(b16 * sps16, 2)
+        except Exception as exc:
+            out["diffusion_train_bs16_error"] = str(exc)[:200]
     except Exception as exc:  # keep the headline alive on train-bench failure
         out["diffusion_train_steps_per_sec_error"] = str(exc)[:200]
 
@@ -597,21 +645,31 @@ def main():
                 sampling_timesteps=DDIM_STEPS, fold_io=f5,
             ).astype(jnp.float32).mean()
         )
-        t512 = timed_fetch(sample5, params5, rng, cond5, repeats=1)
+        # median of 3 + recorded spread, the same discipline the baseline
+        # probe got in round 4 — single chained probes on this tunnel read
+        # up to ~25% fast (BENCH_NOTES; round-4 verdict Weak #2)
+        ts512 = sorted(timed_samples(sample5, params5, rng, cond5, repeats=3))
+        t512 = ts512[len(ts512) // 2]
         extras["gen512_patches_per_sec"] = round(b512 / t512, 3)
         extras["gen512_equiv256_patches_per_sec"] = round(4 * b512 / t512, 3)
+        extras["gen512_spread"] = round((ts512[-1] - ts512[0]) / t512, 4)
 
         # the number a reference-pipeline user cares about: KLD-certified
-        # sampler (DPM-Solver++(2M), 25 steps — LEARNING_GATE_TPU.json) at
-        # the reference's shipped generation crop (512^2, script.sh:10)
+        # sampler (DPM-Solver++(2M) at the certified production step count
+        # — DPM_STEP_SWEEP.json / LEARNING_GATE_TPU.json) at the
+        # reference's shipped generation crop (512^2, script.sh:10)
         sample5_dpm = jax.jit(
             lambda p, r, c: gd5.dpm_solver_sample(
                 p, r, (b512, s512, s512, 4), c,
                 sampling_timesteps=dpm_steps, fold_io=f5,
             ).astype(jnp.float32).mean()
         )
-        t512d = timed_fetch(sample5_dpm, params5, rng, cond5, repeats=1)
+        ts512d = sorted(
+            timed_samples(sample5_dpm, params5, rng, cond5, repeats=3)
+        )
+        t512d = ts512d[len(ts512d) // 2]
         extras["gen512_dpm_patches_per_sec"] = round(b512 / t512d, 3)
+        extras["gen512_dpm_spread"] = round((ts512d[-1] - ts512d[0]) / t512d, 4)
         os.environ["NOISEDIFF_PACKED_HEADS"] = "0"
     except Exception as exc:
         extras["gen512_error"] = str(exc)[:200]

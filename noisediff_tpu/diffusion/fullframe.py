@@ -17,7 +17,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.coords import make_coord
-from ..parallel.mesh import SPATIAL_AXIS, data_sharding, make_mesh, replicated
+from ..parallel.mesh import (
+    SPATIAL_AXIS,
+    activate,
+    data_sharding,
+    make_mesh,
+    replicated,
+)
 from .gaussian import GaussianDiffusion
 
 
@@ -66,5 +72,6 @@ def generate_full_frame(
             )
         return gd.p_sample_loop(params, rng, shape, condition)
 
-    out = jax.jit(fn, out_shardings=batch_sharding)(params, rng, condition)
+    with activate(mesh):  # trace-time mesh visibility (GN SPMD rules)
+        out = jax.jit(fn, out_shardings=batch_sharding)(params, rng, condition)
     return np.asarray(out[0])

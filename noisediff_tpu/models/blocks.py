@@ -310,23 +310,25 @@ def _wgrad_pallas_mode(x):
     into activation-sized masked selects — BENCH_NOTES round-2/3 train
     profiles). The forward and dgrad stay exactly XLA's.
 
-    NOISEDIFF_WGRAD=pallas forces it on TPU; =pallas-interpret forces
-    interpret mode (CPU tests); =auto mirrors the GN kernels' gate — TPU
-    + training trace + h*w >= 4096 (wgrad only exists under
-    differentiation anyway); =xla / unset keeps XLA's lowering. OPT-IN
-    until the crop-512 A/B on the real chip lands (the round-3 lesson:
-    never default-on an unmeasured path).
+    NOISEDIFF_WGRAD=pallas forces it unconditionally on TPU (every
+    stride-1 SAME conv with wide-enough channels, no area floor — the
+    bench_wgrad A/B contract); =pallas-interpret forces interpret mode
+    (CPU tests); =auto mirrors the GN kernels' gate — TPU + training
+    trace + h*w >= NOISEDIFF_WGRAD_MIN_HW (default 4096; wgrad only
+    exists under differentiation anyway); =xla / unset keeps XLA's
+    lowering. OPT-IN until the crop-512 A/B on the real chip lands (the
+    round-3 lesson: never default-on an unmeasured path).
 
-    NOISEDIFF_WGRAD_MIN_HW (default 4096) raises the activation-area
-    floor — e.g. 131072 restricts the kernel to the crop-512 full-res
-    stages (final_res_block / pos_block2 and the first down stage), the
-    convs whose XLA wgrads the round-2/3 profiles flagged."""
+    NOISEDIFF_WGRAD_MIN_HW only shapes the 'auto' heuristic — e.g.
+    131072 restricts it to the crop-512 full-res stages
+    (final_res_block / pos_block2 and the first down stage), the convs
+    whose XLA wgrads the round-2/3 profiles flagged."""
     flag = os.environ.get("NOISEDIFF_WGRAD", "xla")
     min_hw = int(os.environ.get("NOISEDIFF_WGRAD_MIN_HW", "4096"))
     if flag == "pallas-interpret":
         return "interpret"
     if flag == "pallas" and jax.default_backend() == "tpu":
-        return "tpu" if x.shape[1] * x.shape[2] >= min_hw else ""
+        return "tpu"
     if flag == "auto":
         if (
             _GN_TRAIN_TRACE[0]

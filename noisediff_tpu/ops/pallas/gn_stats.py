@@ -174,14 +174,39 @@ gn_stats_p.def_partition(
 )
 
 
+def _mesh_devices() -> int:
+    """Size of the mesh the CURRENT trace targets, 1 when none is active.
+
+    Trace-time signal (round-3/4 advisor fix: gate on an *active mesh*,
+    not the global device count, so deliberately single-device jits on a
+    multi-device process skip custom_partitioning). A pjit whose mesh
+    arrives only through in_shardings is invisible here (measured: both
+    the abstract and physical mesh are empty inside such traces), so
+    multi-device callsites activate their mesh with `jax.set_mesh(mesh)`
+    around the traced call — as the trainers, dryrun, and the 8-device
+    parity tests do."""
+    try:
+        am = jax.sharding.get_abstract_mesh()
+        if am is not None and not am.empty:
+            return am.size
+    except Exception:
+        pass
+    try:
+        from jax._src.mesh import thread_resources
+
+        pm = thread_resources.env.physical_mesh
+        if not pm.empty:
+            return pm.size
+    except Exception:
+        pass
+    return 1
+
+
 def _dispatch(x, interpret: bool):
-    # Gate on the GLOBAL device count: on any multi-device process every
-    # call routes through custom_partitioning, including deliberately
-    # single-device jits (harmless — the rule is a no-op there). This
-    # assumes the repo's pjit-only execution model; the wrapper would not
-    # compose with pmap/shard_map contexts (round-3 advisor note — latent,
-    # nothing in the tree uses those around the model).
-    if jax.device_count() > 1:
+    # Route through custom_partitioning only when the current trace has an
+    # active >1-device mesh (jax.set_mesh / `with mesh:`). Single-device
+    # jits — even on multi-device processes — take the plain kernel.
+    if _mesh_devices() > 1:
         return gn_stats_p(x, interpret)
     return gn_stats(x, interpret)
 
@@ -269,8 +294,8 @@ gn_grad_stats_p.def_partition(
 
 
 def gn_grad_stats_dispatch(g, x, interpret: bool = False):
-    # same global-device-count gate + pjit-only assumption as _dispatch
-    if jax.device_count() > 1:
+    # same active-mesh gate as _dispatch
+    if _mesh_devices() > 1:
         return gn_grad_stats_p(g, x, interpret)
     return gn_grad_stats(g, x, interpret)
 
@@ -280,9 +305,10 @@ def gn_stats_vjp(x, interpret: bool = False):
     """gn_stats with the closed-form backward (ds/dx = 1, dq/dx = 2x), so
     the plain-autodiff GN path (NOISEDIFF_GN_BWD=xla) can differentiate
     through the kernel. Under the default analytic _gn_coeffs custom_vjp
-    the kernel only ever runs in the (non-differentiated) forward. On
-    >1-device processes the call routes through the SPMD-partitioned
-    wrapper (gn_stats_p) so pjit shards rather than replicates."""
+    the kernel only ever runs in the (non-differentiated) forward. When
+    the trace has an active >1-device mesh the call routes through the
+    SPMD-partitioned wrapper (gn_stats_p) so pjit shards rather than
+    replicates."""
     return _dispatch(x, interpret)
 
 

@@ -1,4 +1,5 @@
 from .mesh import (
+    activate,
     data_sharding,
     make_mesh,
     param_sharding_rules,

@@ -18,6 +18,7 @@ No NCCL analogue is written by hand — XLA owns the collectives.
 """
 from __future__ import annotations
 
+import contextlib
 import re
 from typing import Optional, Sequence
 
@@ -28,6 +29,21 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
 MODEL_AXIS = "model"
+
+
+def activate(mesh: Optional[Mesh]):
+    """`jax.set_mesh(mesh)` when the mesh is >1 device, else a no-op.
+
+    Wrapping a traced call in this makes the mesh visible at trace time
+    (jax.sharding.get_abstract_mesh), which is what routes the Pallas
+    GN-stats kernels through their custom_partitioning wrappers
+    (ops/pallas/gn_stats._mesh_devices) — a mesh that arrives only via
+    in_shardings is invisible inside the trace. Single-device meshes
+    skip set_mesh entirely so single-chip traces are byte-identical to
+    before this gate existed."""
+    if mesh is None or mesh.size <= 1:
+        return contextlib.nullcontext()
+    return jax.set_mesh(mesh)
 
 
 def make_mesh(

@@ -23,6 +23,7 @@ from ..data.datasets import DATASETS
 from ..data.loader import DataLoader, create_dataloader
 from ..models import define_network
 from ..parallel import make_mesh, put_replicated, replicated, shard_batch
+from ..parallel import activate as mesh_activate
 from ..utils.logging import ScalarLogger
 from ..utils.profiling import StepTimer
 from . import checkpoint as ckpt
@@ -204,9 +205,10 @@ class Trainer:
 
             for j, batch in enumerate(self.train_dataloader):
                 device_batch = self._prepare(batch)
-                self.state, metrics = self.train_step(
-                    self.state, device_batch, rng_train
-                )
+                with mesh_activate(self.mesh):
+                    self.state, metrics = self.train_step(
+                        self.state, device_batch, rng_train
+                    )
                 timer.tick()
                 last_batch = batch
 

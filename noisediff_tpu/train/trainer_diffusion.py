@@ -35,6 +35,7 @@ from ..diffusion import GaussianDiffusion
 from ..models import define_network
 from ..ops.schedules import make_schedule
 from ..parallel import make_mesh, put_replicated, replicated, shard_batch
+from ..parallel import activate as mesh_activate
 from ..utils.logging import ScalarLogger
 from ..utils.profiling import StepTimer
 from . import checkpoint as ckpt
@@ -347,9 +348,12 @@ class Trainer:
                         jax.profiler.stop_trace()
 
                 device_batch = self._prepare(batch)
-                self.state, metrics = self.train_step(
-                    self.state, device_batch, rng_train
-                )
+                # activate(mesh): trace-time mesh visibility for the GN
+                # kernels' SPMD partition rules (parallel.mesh.activate)
+                with mesh_activate(self.mesh):
+                    self.state, metrics = self.train_step(
+                        self.state, device_batch, rng_train
+                    )
                 self.state = self.ema_host.maybe_apply(self.state)
                 timer.tick()
 
@@ -456,7 +460,12 @@ class Trainer:
                 if item is None:
                     return
                 name, arr = item
-                np.save(os.path.join(out_dir, name), arr)
+                # write-to-temp + rename so a preemption mid-write can never
+                # leave a truncated .npy that --skip_existing would trust
+                dst = os.path.join(out_dir, name)
+                tmp = dst + ".tmp.npy"  # .npy suffix stops np.save renaming it
+                np.save(tmp, arr)
+                os.replace(tmp, dst)
 
         wt = threading.Thread(target=writer, daemon=True)
         wt.start()
@@ -519,7 +528,8 @@ class Trainer:
                 else jnp.zeros_like(jnp.asarray(coord)),
             }
             rng_b = jax.random.fold_in(rng, bidx)
-            output = sample_fn(params, rng_b, condition)
+            with mesh_activate(self.mesh):
+                output = sample_fn(params, rng_b, condition)
             output = np.asarray(output[:n])  # drop padding
 
             for i, save_name in enumerate(names):

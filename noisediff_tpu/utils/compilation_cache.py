@@ -17,10 +17,20 @@ tier, the virtual-mesh dryrun — deliberately keep cold compiles.
 initialise a backend), and respects an explicit user configuration.
 """
 import os
+import tempfile
 
 import jax
 
-_DEFAULT_DIR = "/tmp/noisediff_xla_cache"
+
+def _default_dir() -> str:
+    """Per-user default so a shared /tmp on a multi-user host never has
+    one user's cache entries (or directory ownership) shadow another's.
+    XDG cache home when available, else a uid-suffixed tempdir path."""
+    xdg = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
+    if os.path.isdir(os.path.dirname(xdg)) or os.path.isdir(xdg):
+        return os.path.join(xdg, "noisediff", "xla")
+    uid = os.getuid() if hasattr(os, "getuid") else "u"
+    return os.path.join(tempfile.gettempdir(), f"noisediff_xla_cache_{uid}")
 
 
 def enable(cache_dir: str | None = None, min_compile_secs: float = 1.0) -> str:
@@ -43,7 +53,7 @@ def enable(cache_dir: str | None = None, min_compile_secs: float = 1.0) -> str:
     if "cpu" in (_primary(jax.config.jax_platforms),
                  _primary(os.environ.get("JAX_PLATFORMS"))):
         return ""
-    path = cache_dir or env or _DEFAULT_DIR
+    path = cache_dir or env or _default_dir()
     if jax.config.jax_compilation_cache_dir:  # user already configured it
         return jax.config.jax_compilation_cache_dir
     jax.config.update("jax_compilation_cache_dir", path)

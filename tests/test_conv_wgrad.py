@@ -192,3 +192,7 @@ def test_wgrad_gate_is_train_context_only(monkeypatch):
         assert blocks._wgrad_pallas_mode(big) == ""
     monkeypatch.setenv("NOISEDIFF_WGRAD", "pallas")
     assert blocks._wgrad_pallas_mode(big) == "tpu"
+    # =pallas is an unconditional force: no area floor (round-4 advisor —
+    # the min_hw gate only shapes 'auto', so forced A/Bs measure what
+    # they say they measure)
+    assert blocks._wgrad_pallas_mode(jnp.zeros((2, 16, 16, 32))) == "tpu"

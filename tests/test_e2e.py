@@ -229,12 +229,19 @@ def test_generation_skip_existing_resume(sid_tree):
     out_dir = gen_root / "ISO800_Ratio250" / "npy" / "generated"
     npys = sorted(glob.glob(str(out_dir / "*.npy")))
     assert len(npys) > 1
-    before = {p: (os.path.getmtime(p), np.load(p).copy()) for p in npys}
+    # the writer goes through tmp+rename; no temp debris may survive
+    assert not glob.glob(str(out_dir / "*.tmp.npy"))
+    # pre-touch to a sentinel mtime so even a same-content rewrite on a
+    # coarse-timestamp filesystem would be detected (ns-resolution stat)
+    sentinel_ns = 946684800_000_000_000  # 2000-01-01
+    for p in npys:
+        os.utime(p, ns=(sentinel_ns, sentinel_ns))
+    before = {p: np.load(p).copy() for p in npys}
 
     # complete directory: nothing is rewritten
     td.main(argv)
     for p in npys:
-        assert os.path.getmtime(p) == before[p][0], "existing npy was rewritten"
+        assert os.stat(p).st_mtime_ns == sentinel_ns, "existing npy was rewritten"
 
     # delete one file: only its batch regenerates, bit-identically
     victim = npys[0]
@@ -242,4 +249,4 @@ def test_generation_skip_existing_resume(sid_tree):
     td.main(argv)
     assert os.path.exists(victim)
     after = np.load(victim)
-    np.testing.assert_array_equal(after, before[victim][1])
+    np.testing.assert_array_equal(after, before[victim])

@@ -46,7 +46,12 @@ def test_ddim_fold_io_parity():
     np.testing.assert_allclose(y1, y2, rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_model_predictions_io_fold_parity():
+    """slow: two whole-model compiles (folded + unfolded model_predictions)
+    — ~2x the next-slowest fast-tier test under load (round-4 verdict), and
+    the shapes are already minimal (16^2, dim=8), so it re-tiers rather
+    than shrinks."""
     from noisediff_tpu.models.blocks import fold_width, unfold_width
 
     gd, params, cond, shape = _setup()

@@ -346,3 +346,48 @@ def test_gn_stats_partitioned_on_mesh(monkeypatch):
     np.testing.assert_allclose(
         outs["reduce"], outs["pallas-interpret"], rtol=1e-5, atol=1e-6
     )
+
+
+def test_gn_dispatch_gates_on_active_mesh():
+    """The SPMD dispatch must route through custom_partitioning only when
+    the CURRENT trace has an active >1-device mesh (jax.set_mesh), not
+    whenever the process happens to see multiple devices — a deliberately
+    single-device jit on this 8-device CPU process takes the plain kernel
+    (round-3/4 advisor item). A pjit whose mesh arrives only through
+    in_shardings is invisible at trace time (pinned here), which is why
+    trainers/dryrun/fullframe wrap their traced calls in
+    parallel.mesh.activate()."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+    from noisediff_tpu.ops.pallas import gn_stats as gs
+    from noisediff_tpu.parallel.mesh import activate
+
+    assert jax.device_count() >= 8  # the premise of the test
+
+    seen = []
+
+    def probe(x):
+        seen.append(gs._mesh_devices())
+        return x * 2
+
+    # single-device jit on a multi-device process: no active mesh
+    jax.jit(probe)(jnp.ones((4, 4)))
+    assert seen.pop() == 1
+
+    mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "spatial"))
+    xs = jax.device_put(jnp.ones((8, 4)), NamedSharding(mesh, P("data")))
+
+    # mesh via in_shardings ONLY: invisible at trace time (the documented
+    # pjit gap that activate() exists to close)
+    jax.jit(probe, in_shardings=NamedSharding(mesh, P("data")))(xs)
+    assert seen.pop() == 1
+
+    # activate(mesh) == jax.set_mesh for >1-device meshes: visible
+    with activate(mesh):
+        jax.jit(lambda a: probe(a) + 0)(xs)
+    assert seen.pop() == mesh.size
+
+    # activate() on a 1-device mesh is a no-op
+    m1 = Mesh(np.array(jax.devices()[:1]).reshape(1), ("data",))
+    with activate(m1):
+        jax.jit(lambda a: probe(a) + 1)(jnp.ones((4, 4)))
+    assert seen.pop() == 1
