@@ -338,6 +338,9 @@ def train_steps_per_sec():
             "coord": cond8["position"],
             "iso_ratio_idx": cond8["iso_ratio_idx"],
         }
+        # snapshot BEFORE state8 consumes params_copy: the step donates its
+        # state, so the bs=8 run deletes params_copy's buffers
+        params_keep = jax.tree.map(jnp.array, params_copy)
         state8 = create_train_state(params_copy, opt, with_ema=True)
         sps8_raw = steps_per_sec(step, state8, batch8)
         sps8 = 1.0 / (1.0 / sps8_raw + t_apply / 20.0)
@@ -359,7 +362,7 @@ def train_steps_per_sec():
             }
             try:
                 state16 = create_train_state(
-                    jax.tree.map(jnp.array, params_copy), opt, with_ema=True
+                    jax.tree.map(jnp.array, params_keep), opt, with_ema=True
                 )
                 sps16_raw = steps_per_sec(step, state16, batch16)
                 out["diffusion_train_bs16_remat"] = False
@@ -382,7 +385,7 @@ def train_steps_per_sec():
                     gd_r, opt, ema_in_step=False
                 )
                 state16 = create_train_state(
-                    jax.tree.map(jnp.array, params_copy), opt, with_ema=True
+                    jax.tree.map(jnp.array, params_keep), opt, with_ema=True
                 )
                 sps16_raw = steps_per_sec(step_r, state16, batch16)
                 out["diffusion_train_bs16_remat"] = True

@@ -31,8 +31,10 @@ SPATIAL_AXIS = "spatial"
 MODEL_AXIS = "model"
 
 
+@contextlib.contextmanager
 def activate(mesh: Optional[Mesh]):
-    """`jax.set_mesh(mesh)` when the mesh is >1 device, else a no-op.
+    """`with activate(mesh):` — jax.set_mesh for >1-device meshes, no-op
+    otherwise.
 
     Wrapping a traced call in this makes the mesh visible at trace time
     (jax.sharding.get_abstract_mesh), which is what routes the Pallas
@@ -40,10 +42,14 @@ def activate(mesh: Optional[Mesh]):
     (ops/pallas/gn_stats._mesh_devices) — a mesh that arrives only via
     in_shardings is invisible inside the trace. Single-device meshes
     skip set_mesh entirely so single-chip traces are byte-identical to
-    before this gate existed."""
+    before this gate existed. Implemented as a generator so the global
+    mesh is only set at __enter__, never at call time — a discarded
+    activate(mesh) value must not leak mesh state into later traces."""
     if mesh is None or mesh.size <= 1:
-        return contextlib.nullcontext()
-    return jax.set_mesh(mesh)
+        yield
+        return
+    with jax.set_mesh(mesh):
+        yield
 
 
 def make_mesh(

@@ -527,9 +527,13 @@ class Trainer:
                 if getattr(args, "positional_encoding", True)
                 else jnp.zeros_like(jnp.asarray(coord)),
             }
+            # NOT mesh_activate-wrapped: generation inputs are rank-local
+            # (each rank samples its own grid shard) and the GN kernels are
+            # train-trace-only anyway — activating the global mesh here
+            # would force rank-local uncommitted arrays onto a mesh with
+            # non-addressable devices under --dist
             rng_b = jax.random.fold_in(rng, bidx)
-            with mesh_activate(self.mesh):
-                output = sample_fn(params, rng_b, condition)
+            output = sample_fn(params, rng_b, condition)
             output = np.asarray(output[:n])  # drop padding
 
             for i, save_name in enumerate(names):

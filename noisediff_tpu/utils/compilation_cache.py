@@ -25,10 +25,14 @@ import jax
 def _default_dir() -> str:
     """Per-user default so a shared /tmp on a multi-user host never has
     one user's cache entries (or directory ownership) shadow another's.
-    XDG cache home when available, else a uid-suffixed tempdir path."""
-    xdg = os.environ.get("XDG_CACHE_HOME") or os.path.expanduser("~/.cache")
-    if os.path.isdir(os.path.dirname(xdg)) or os.path.isdir(xdg):
+    An explicit XDG_CACHE_HOME is honored unconditionally (jax makedirs
+    the path itself); else ~/.cache, else a uid-suffixed tempdir path."""
+    xdg = os.environ.get("XDG_CACHE_HOME")
+    if xdg:
         return os.path.join(xdg, "noisediff", "xla")
+    home = os.path.expanduser("~")
+    if home and home != "~":
+        return os.path.join(home, ".cache", "noisediff", "xla")
     uid = os.getuid() if hasattr(os, "getuid") else "u"
     return os.path.join(tempfile.gettempdir(), f"noisediff_xla_cache_{uid}")
 
