@@ -425,6 +425,7 @@ class GaussianDiffusion:
         self, params, rng, shape, condition: Condition = None,
         sampling_timesteps: Optional[int] = None, fold_io: int = 1,
         init_noise: Optional[jnp.ndarray] = None,
+        step_spacing: str = "time",
     ):
         """Second-order multistep DPM-Solver++ (arXiv:2211.01095) in the
         data-prediction formulation. Deterministic (eta=0). Converges in
@@ -433,6 +434,16 @@ class GaussianDiffusion:
 
         Uses the same model_predictions head (clip_x_start=True like the
         reference's DDIM path), so any trained checkpoint works unchanged.
+
+        step_spacing:
+          'time'   — DDIM's uniform-in-t grid (reference :409-411), so step
+                     counts are directly comparable with the DDIM sweep.
+          'lambda' — uniform in half-log-SNR lambda(t), the DPM-Solver paper's
+                     own grid. At low step counts this spends model evals where
+                     the ODE actually bends (the low-noise end: with T=1000 the
+                     time-uniform 15-step grid's last model eval sits at t~66,
+                     the lambda grid's near t~0), which is what lets fewer
+                     steps match DDIM quality (certified in DPM_STEP_SWEEP.json).
         """
         total = self.num_timesteps
         steps = sampling_timesteps or self.sampling_timesteps
@@ -451,13 +462,33 @@ class GaussianDiffusion:
                 "KLD-certified default 15"
             )
 
-        # time grid: same construction as DDIM (reference :409-411), so step
-        # counts are comparable; terminal pair handled by lambda(t=-1)=+inf
-        times = np.linspace(-1, total - 1, steps + 1).astype(np.int64)
-        times = list(reversed(times.tolist()))
-        pairs = np.array(list(zip(times[:-1], times[1:])), np.int32)
-
         ac = np.asarray(self.schedule.alphas_cumprod, np.float64)
+
+        if step_spacing == "lambda":
+            # uniform in lambda(t) = log(alpha/sigma): place the interior
+            # knots at the discrete t whose lambda is nearest each target on
+            # a uniform [lambda(T-1), lambda(0)] grid, endpoints pinned to
+            # T-1 (the prior) and -1 (the x0 projection, same terminal the
+            # time grid uses). Strict monotonicity enforced so every pair
+            # advances (h > 0) even at step counts approaching T.
+            assert steps < total, (steps, total)
+            lam_all = 0.5 * np.log(ac / np.maximum(1.0 - ac, 1e-300))
+            targets = np.linspace(lam_all[total - 1], lam_all[0], steps + 1)
+            times = [total - 1]
+            for tg in targets[1:-1]:
+                tk = int(np.argmin(np.abs(lam_all - tg)))
+                times.append(max(min(tk, times[-1] - 1), 0))
+            times.append(-1)
+        elif step_spacing == "time":
+            # DDIM's grid (reference :409-411), so step counts are
+            # comparable; terminal pair handled by lambda(t=-1)=+inf
+            times = np.linspace(-1, total - 1, steps + 1).astype(np.int64)
+            times = list(reversed(times.tolist()))
+        else:
+            raise ValueError(
+                f"step_spacing must be 'time' or 'lambda', got {step_spacing!r}"
+            )
+        pairs = np.array(list(zip(times[:-1], times[1:])), np.int32)
 
         def lam(t_idx):  # log-SNR/2 at discrete t, with t=-1 -> clean data
             if t_idx < 0:

@@ -418,10 +418,13 @@ class Trainer:
                 def trunk_fn(params, x, t, condition):
                     return trunk.apply({"params": params}, x, t, condition)
 
+            dpm_spacing = getattr(self.args, "dpm_spacing", "time")
+
             def fn(params, rng, condition):
                 if sampler == "dpm":
                     return gd.dpm_solver_sample(params, rng, shape, condition,
-                                                fold_io=fold_io)
+                                                fold_io=fold_io,
+                                                step_spacing=dpm_spacing)
                 if sampler == "ddim" or (sampler == "auto" and gd.is_ddim_sampling):
                     return gd.ddim_sample(
                         params, rng, shape, condition, fold_io=fold_io,

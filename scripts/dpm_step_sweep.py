@@ -31,6 +31,8 @@ def main(argv=None):
                          "snapshot + synthetic SID tree)")
     ap.add_argument("--scale", default="tpu", choices=sorted(SCALES))
     ap.add_argument("--steps", default="20,15,10")
+    ap.add_argument("--spacing", default="time", choices=("time", "lambda"),
+                    help="DPM step grid (see gaussian.dpm_solver_sample)")
     ap.add_argument("--out", default="")
     args = ap.parse_args(argv)
 
@@ -52,13 +54,15 @@ def main(argv=None):
             g = json.load(f)
         ddim_kld = g.get("kld_trained", {}).get("kld_symmetric")
 
-    result = {"scale": args.scale, "resume": resume,
+    result = {"scale": args.scale, "resume": resume, "spacing": args.spacing,
               "ddim_kld_symmetric": ddim_kld, "sweep": []}
     for n in [int(s) for s in args.steps.split(",") if s]:
-        gen = run_generation(cfg, args.workdir, sid, f"gen_dpm{n}",
-                             resume=resume, sampler="dpm", steps=n)
+        gen = run_generation(cfg, args.workdir, sid,
+                             f"gen_dpm{n}_{args.spacing}",
+                             resume=resume, sampler="dpm", steps=n,
+                             spacing=args.spacing)
         kld = run_kld(args.workdir, sid, gen)
-        row = {"dpm_steps": n, "kld": kld,
+        row = {"dpm_steps": n, "spacing": args.spacing, "kld": kld,
                "kld_symmetric": kld["kld_symmetric"]}
         if ddim_kld:
             row["vs_ddim_ratio"] = kld["kld_symmetric"] / ddim_kld

@@ -46,15 +46,18 @@ SCALES = {
     # undertrained model generates near the N(0,1) prior (std ~0.6 vs the
     # real residual's ~0.05) and poisons stage 2.
     "tiny": dict(fh=96, fw=128, n_train=4, n_test=2, dim=16, crop=16,
-                 epochs=160, batch=8, T=64, ddim=16, dpm=0, lr=3e-4,
+                 epochs=160, batch=8, T=64, ddim=16, dpm=0,
+                 dpm_spacing="time", lr=3e-4,
                  lsid_width=8, den_epochs=60, den_lr=1e-3,
                  den_crop=16, gen_batch=16),
     "small": dict(fh=192, fw=256, n_train=6, n_test=2, dim=32, crop=32,
-                  epochs=80, batch=8, T=256, ddim=25, dpm=15, lr=3e-4,
+                  epochs=80, batch=8, T=256, ddim=25, dpm=15,
+                  dpm_spacing="time", lr=3e-4,
                   lsid_width=8, den_epochs=30, den_lr=1e-3,
                   den_crop=32, gen_batch=16),
     "tpu": dict(fh=512, fw=768, n_train=8, n_test=3, dim=48, crop=64,
-                epochs=800, batch=16, T=1000, ddim=50, dpm=15, lr=2e-4,
+                epochs=800, batch=16, T=1000, ddim=50, dpm=15,
+                dpm_spacing="time", lr=2e-4,
                 lsid_width=16, den_epochs=150, den_lr=5e-4,
                 den_crop=64, gen_batch=32),
 }
@@ -132,7 +135,7 @@ def diffusion_flags(cfg):
 
 
 def run_generation(cfg, workdir, sid, out_name, resume,
-                   sampler=None, steps=None):
+                   sampler=None, steps=None, spacing=None):
     from noisediff_tpu.cli import test_diffusion as td
 
     out = os.path.join(workdir, out_name)
@@ -145,6 +148,7 @@ def run_generation(cfg, workdir, sid, out_name, resume,
         "--batch_size", str(cfg["gen_batch"]),
         "--sampling_timesteps", str(steps if steps else cfg["ddim"]),
         *(["--sampler", sampler] if sampler else []),
+        *(["--dpm_spacing", spacing] if spacing else []),
         "--iso_value", str(ISO),
         "--ratio_value", str(int(RATIO)),
         "--save_folder", out,
@@ -268,6 +272,7 @@ def main(argv=None):
             gen_dpm = run_generation(
                 cfg, args.workdir, sid, "gen_trained_dpm", resume=resume,
                 sampler="dpm", steps=cfg["dpm"],
+                spacing=cfg.get("dpm_spacing", "time"),
             )
             kld_dpm = run_kld(args.workdir, sid, gen_dpm)
         except Exception as exc:  # keep stage 2 alive; record the failure
@@ -332,6 +337,7 @@ def main(argv=None):
     if kld_dpm is not None:
         result["kld_trained_dpm"] = kld_dpm
         result["dpm_steps"] = cfg["dpm"]
+        result["dpm_spacing"] = cfg.get("dpm_spacing", "time")
         # certification bar (VERDICT r2 next-#2): DPM KLD within ~1.2x of
         # the DDIM KLD means the 3.8x-faster sampler is quality-equivalent
         result["dpm_vs_ddim_kld_ratio"] = (

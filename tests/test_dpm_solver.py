@@ -59,6 +59,76 @@ def test_dpm_matches_ddim_limit_on_linear_model():
     np.testing.assert_allclose(dpm, ddim, rtol=1e-3, atol=1e-3)
 
 
+def test_lambda_spacing_converges_and_terminal():
+    """lambda-uniform grid: same fixed points as the time grid (terminal x0
+    projection; constant-x0 convergence)."""
+    target = 0.37
+
+    def apply_fn(params, x, t, c):
+        return jnp.full_like(x, target)
+
+    gd = _gd(apply_fn, objective="pred_x0")
+    out = np.asarray(
+        jax.jit(
+            lambda r: gd.dpm_solver_sample(
+                {}, r, (1, 8, 8, 4), None, sampling_timesteps=8,
+                step_spacing="lambda",
+            )
+        )(jax.random.PRNGKey(1))
+    )
+    np.testing.assert_allclose(out, target, rtol=1e-3, atol=1e-3)
+
+
+def test_lambda_spacing_grid_properties():
+    """The lambda grid is strictly decreasing T-1 -> -1 with `steps` pairs,
+    and its last model eval sits at a much lower t (higher log-SNR) than the
+    time-uniform grid's — the reason it wins at low step counts."""
+    ac = np.asarray(make_schedule("sigmoid2", 1000).alphas_cumprod, np.float64)
+    lam_all = 0.5 * np.log(ac / (1.0 - ac))
+    steps = 15
+    targets = np.linspace(lam_all[999], lam_all[0], steps + 1)
+    times = [999]
+    for tg in targets[1:-1]:
+        tk = int(np.argmin(np.abs(lam_all - tg)))
+        times.append(max(min(tk, times[-1] - 1), 0))
+    times.append(-1)
+    assert len(times) == steps + 1
+    assert all(a > b for a, b in zip(times, times[1:])), times
+    t_uniform_last = int(np.linspace(-1, 999, steps + 1)[1])  # ~65
+    assert times[-2] < t_uniform_last, (times[-2], t_uniform_last)
+
+
+def test_lambda_spacing_matches_time_spacing_at_high_steps():
+    """Both grids integrate the same ODE: with many steps they agree on the
+    linear (constant-x0) model."""
+    target = -0.2
+
+    def apply_fn(params, x, t, c):
+        return jnp.full_like(x, target)
+
+    gd = _gd(apply_fn, objective="pred_x0")
+    rng = jax.random.PRNGKey(2)
+    shape = (1, 8, 8, 4)
+    a = np.asarray(gd.dpm_solver_sample({}, rng, shape, None,
+                                        sampling_timesteps=200,
+                                        step_spacing="time"))
+    b = np.asarray(gd.dpm_solver_sample({}, rng, shape, None,
+                                        sampling_timesteps=200,
+                                        step_spacing="lambda"))
+    np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+
+def test_bad_spacing_raises():
+    gd = _gd(lambda p, x, t, c: jnp.zeros_like(x))
+    try:
+        gd.dpm_solver_sample({}, jax.random.PRNGKey(0), (1, 8, 8, 4), None,
+                             sampling_timesteps=4, step_spacing="quadratic")
+    except ValueError as e:
+        assert "step_spacing" in str(e)
+    else:
+        raise AssertionError("expected ValueError")
+
+
 def test_fewer_steps_than_ddim_for_same_error():
     """The 2nd-order solver at 8 steps should be at least as accurate as DDIM
     at 8 steps against the converged solution (constant-x0 toy)."""
