@@ -484,9 +484,11 @@ def main():
     # against the <=1.2x bar; DPM_STEP_SWEEP.json). dpm_solver_steps in
     # the output JSON records the step count a capture used.
     dpm_steps = int(os.environ.get("BENCH_DPM_STEPS", 15))
+    dpm_spacing = os.environ.get("BENCH_DPM_SPACING", "time")
     sample_dpm = jax.jit(
         lambda p, r, c: gd.dpm_solver_sample(
-            p, r, shape, c, sampling_timesteps=dpm_steps, fold_io=fold_io
+            p, r, shape, c, sampling_timesteps=dpm_steps, fold_io=fold_io,
+            step_spacing=dpm_spacing,
         ).astype(jnp.float32).mean()
     )
     t_dpm = timed_fetch(sample_dpm, params, rng, cond)
@@ -665,6 +667,7 @@ def main():
             lambda p, r, c: gd5.dpm_solver_sample(
                 p, r, (b512, s512, s512, 4), c,
                 sampling_timesteps=dpm_steps, fold_io=f5,
+                step_spacing=dpm_spacing,
             ).astype(jnp.float32).mean()
         )
         ts512d = sorted(
@@ -695,6 +698,7 @@ def main():
                 ),
                 "dpm_solver_patches_per_sec": round(BATCH / t_dpm, 4),
                 "dpm_solver_steps": dpm_steps,
+                "dpm_spacing": dpm_spacing,
                 **(headline_decomp or {}),
                 # measured with packed heads ON — the same configuration
                 # the headline sampler runs (verdict r2 Weak #5)

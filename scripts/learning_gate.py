@@ -204,6 +204,13 @@ def main(argv=None):
                          "jax.config). Default: the environment's backend.")
     ap.add_argument("--set", action="append", default=[], metavar="K=V",
                     help="override a scale knob, e.g. --set epochs=40")
+    ap.add_argument("--restamp_dpm", action="store_true",
+                    help="re-certify ONLY the DPM leg of an existing gate "
+                         "workdir (trained snapshot + SID tree) at the "
+                         "scale's current dpm/dpm_spacing config, and patch "
+                         "the dpm_* fields of the --out artifact in place. "
+                         "Use after flipping the production sampler default "
+                         "so the artifact keeps describing what ships.")
     args = ap.parse_args(argv)
     cfg = dict(SCALES[args.scale])
     for kv in getattr(args, "set"):
@@ -216,6 +223,37 @@ def main(argv=None):
         import jax
 
         jax.config.update("jax_platforms", args.platform)
+
+    if args.restamp_dpm:
+        assert cfg["dpm"] > 0, "restamp needs a dpm step count for the scale"
+        sid = os.path.join(args.workdir, "SID")
+        snap = os.path.join(args.workdir, "logs", "weights", "gate_diff",
+                            "snapshot")
+        ema = os.path.join(snap, "ema_final")
+        resume = ema if os.path.isdir(ema) or os.path.exists(ema + ".npz") \
+            else os.path.join(snap, "net_final")
+        assert os.path.isdir(sid), f"no SID tree under {args.workdir}"
+        assert args.out and os.path.exists(args.out), \
+            "--restamp_dpm patches an existing --out artifact"
+        spacing = cfg.get("dpm_spacing", "time")
+        gen_dpm = run_generation(
+            cfg, args.workdir, sid, f"gen_dpm{cfg['dpm']}_{spacing}_restamp",
+            resume=resume, sampler="dpm", steps=cfg["dpm"], spacing=spacing,
+        )
+        kld_dpm = run_kld(args.workdir, sid, gen_dpm)
+        with open(args.out) as f:
+            result = json.load(f)
+        result["kld_trained_dpm"] = kld_dpm
+        result["dpm_steps"] = cfg["dpm"]
+        result["dpm_spacing"] = spacing
+        result["dpm_vs_ddim_kld_ratio"] = (
+            kld_dpm["kld_symmetric"]
+            / max(result["kld_trained"]["kld_symmetric"], 1e-12)
+        )
+        print(json.dumps(result))
+        with open(args.out, "w") as f:
+            json.dump(result, f, indent=1)
+        return result
 
     if os.path.isdir(args.workdir) and not args.keep:
         shutil.rmtree(args.workdir)
