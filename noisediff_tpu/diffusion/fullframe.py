@@ -36,6 +36,7 @@ def generate_full_frame(
     mesh=None,
     sampler: str = "dpm",
     sampling_timesteps: Optional[int] = None,
+    dpm_spacing: str = "time",
 ):
     """Generate a full-frame noise map conditioned on a packed clean frame.
 
@@ -64,7 +65,9 @@ def generate_full_frame(
     def fn(params, rng, condition):
         if sampler == "dpm":
             return gd.dpm_solver_sample(
-                params, rng, shape, condition, sampling_timesteps=sampling_timesteps
+                params, rng, shape, condition,
+                sampling_timesteps=sampling_timesteps,
+                step_spacing=dpm_spacing,
             )
         if sampler == "ddim":
             return gd.ddim_sample(
