@@ -493,6 +493,24 @@ def main():
     )
     t_dpm = timed_fetch(sample_dpm, params, rng, cond)
 
+    # the PRODUCTION sampler config: DPM-Solver++(2M) on the lambda
+    # (log-SNR-uniform) grid at the round-5 certified step count — KLD
+    # 0.36x of DDIM-50's at 10 steps vs the time grid's 0.84x at 15
+    # (DPM_STEP_SWEEP.json). The time-15 leg above stays as the
+    # round-over-round continuity axis.
+    dpm_prod_steps = int(os.environ.get("BENCH_DPM_PROD_STEPS", 10))
+    dpm_prod_spacing = os.environ.get("BENCH_DPM_PROD_SPACING", "lambda")
+    sample_dpm_prod = jax.jit(
+        lambda p, r, c: gd.dpm_solver_sample(
+            p, r, shape, c, sampling_timesteps=dpm_prod_steps,
+            fold_io=fold_io, step_spacing=dpm_prod_spacing,
+        ).astype(jnp.float32).mean()
+    )
+    ts_prod = sorted(timed_samples(sample_dpm_prod, params, rng, cond,
+                                   repeats=3))
+    t_dpm_prod = ts_prod[len(ts_prod) // 2]
+    dpm_prod_spread = (ts_prod[-1] - ts_prod[0]) / t_dpm_prod
+
     ## --- honest per-step decomposition + MFU -------------------------------
     eval_ms_bf16 = unet_eval_ms(apply_fn, params, BATCH, PATCH, "bf16")
 
@@ -676,6 +694,23 @@ def main():
         t512d = ts512d[len(ts512d) // 2]
         extras["gen512_dpm_patches_per_sec"] = round(b512 / t512d, 3)
         extras["gen512_dpm_spread"] = round((ts512d[-1] - ts512d[0]) / t512d, 4)
+
+        # production sampler config at the reference's shipped crop
+        sample5_prod = jax.jit(
+            lambda p, r, c: gd5.dpm_solver_sample(
+                p, r, (b512, s512, s512, 4), c,
+                sampling_timesteps=dpm_prod_steps, fold_io=f5,
+                step_spacing=dpm_prod_spacing,
+            ).astype(jnp.float32).mean()
+        )
+        ts512p = sorted(
+            timed_samples(sample5_prod, params5, rng, cond5, repeats=3)
+        )
+        t512p = ts512p[len(ts512p) // 2]
+        extras["gen512_dpm_production_patches_per_sec"] = round(b512 / t512p, 3)
+        extras["gen512_dpm_production_spread"] = round(
+            (ts512p[-1] - ts512p[0]) / t512p, 4
+        )
         os.environ["NOISEDIFF_PACKED_HEADS"] = "0"
     except Exception as exc:
         extras["gen512_error"] = str(exc)[:200]
@@ -699,6 +734,10 @@ def main():
                 "dpm_solver_patches_per_sec": round(BATCH / t_dpm, 4),
                 "dpm_solver_steps": dpm_steps,
                 "dpm_spacing": dpm_spacing,
+                "dpm_production_patches_per_sec": round(BATCH / t_dpm_prod, 4),
+                "dpm_production_steps": dpm_prod_steps,
+                "dpm_production_spacing": dpm_prod_spacing,
+                "dpm_production_spread": round(dpm_prod_spread, 4),
                 **(headline_decomp or {}),
                 # measured with packed heads ON — the same configuration
                 # the headline sampler runs (verdict r2 Weak #5)

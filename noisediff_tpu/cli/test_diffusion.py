@@ -62,12 +62,12 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument("--sampler", default="auto", type=str,
                         help="auto | ddpm | ddim | dpm (DPM-Solver++ 2M, "
                              "framework extension: ~3-5x fewer steps than DDIM)")
-    parser.add_argument("--dpm_spacing", default="time", type=str,
+    parser.add_argument("--dpm_spacing", default="lambda", type=str,
                         choices=("time", "lambda"),
-                        help="DPM-Solver step grid: 'time' (DDIM-comparable "
-                             "uniform-in-t) or 'lambda' (uniform in log-SNR, "
-                             "the DPM-Solver paper grid — better at low step "
-                             "counts)")
+                        help="DPM-Solver step grid: 'lambda' (uniform in "
+                             "log-SNR, the DPM-Solver paper grid — the "
+                             "KLD-certified production default) or 'time' "
+                             "(DDIM-comparable uniform-in-t)")
 
     ## dataloader setting
     add_path_flags(parser)

@@ -36,7 +36,7 @@ def generate_full_frame(
     mesh=None,
     sampler: str = "dpm",
     sampling_timesteps: Optional[int] = None,
-    dpm_spacing: str = "time",
+    dpm_spacing: str = "lambda",
 ):
     """Generate a full-frame noise map conditioned on a packed clean frame.
 

