@@ -36,6 +36,7 @@ def main(argv=None):
     ap.add_argument("--sizes", default="8,16,32")
     ap.add_argument("--patch", type=int, default=256)
     ap.add_argument("--steps", type=int, default=15)
+    ap.add_argument("--spacing", default="time", choices=("time", "lambda"))
     ap.add_argument("--repeats", type=int, default=3)
     args = ap.parse_args(argv)
 
@@ -55,6 +56,7 @@ def main(argv=None):
             lambda p, r, c, _b=b, _gd=gd, _f=fold: _gd.dpm_solver_sample(
                 p, r, (_b, s, s, 4), c,
                 sampling_timesteps=args.steps, fold_io=_f,
+                step_spacing=args.spacing,
             ).astype(jnp.float32).mean()
         )
         try:
@@ -63,6 +65,7 @@ def main(argv=None):
             t = ts[len(ts) // 2]
             rec = {
                 "batch": b, "patch": s, "dpm_steps": args.steps,
+                "spacing": args.spacing,
                 "patches_per_sec": round(b / t, 3),
                 "batch_seconds": round(t, 4),
                 "spread": round((ts[-1] - ts[0]) / t, 4),
