@@ -197,6 +197,47 @@ def test_generation_without_resume(sid_tree):
 
 
 @pytest.mark.slow
+def test_generation_production_dpm_sampler(sid_tree):
+    """The production fast path through the real CLI: --sampler dpm with the
+    default (round-5 certified) lambda step grid. Pins that the trainer's
+    cached sampler jit consumes --dpm_spacing and that DPM generations hit
+    the same npy naming contract the denoiser stage consumes."""
+    from noisediff_tpu.cli import test_diffusion as td
+
+    gen_root = sid_tree / "generated_dpm"
+    td.main(
+        [
+            "--name", "ISO800_Ratio250",
+            "--testset", "NoiseImageGenerationDataset",
+            "--net_name", "NoiseDiffNet",
+            "--beta_schedule", "sigmoid2",
+            "--positional_encoding",
+            "--with_camera_settings",
+            "--save_npy",
+            "--dim", "16",
+            "--crop_size", "16",
+            "--batch_size", "2",
+            "--diffusion_steps", "8",
+            "--sampler", "dpm",
+            "--sampling_timesteps", "3",
+            "--iso", "800",
+            "--ratio", "250",
+            "--save_folder", str(gen_root),
+            *_common_flags(sid_tree),
+        ]
+    )
+    npys = glob.glob(
+        str(gen_root / "ISO800_Ratio250" / "npy" / "generated" / "*.npy")
+    )
+    assert len(npys) > 0
+    for p in npys[:4]:  # filename contract: clean+noisy+x_y.npy
+        base = os.path.basename(p)
+        assert "+" in base and base.count("+") == 2, base
+        arr = np.load(p)
+        assert arr.ndim == 3 and np.isfinite(arr).all(), (p, arr.shape)
+
+
+@pytest.mark.slow
 def test_generation_skip_existing_resume(sid_tree):
     """--skip_existing (TPU-native extension, trainer_diffusion.Trainer.test):
     a re-run over a complete output directory rewrites nothing, and a run
