@@ -55,6 +55,45 @@ def _extract(a: jnp.ndarray, t: jnp.ndarray, ndim: int) -> jnp.ndarray:
     return out.reshape(out.shape + (1,) * (ndim - out.ndim))
 
 
+def _dpm_step_grid(alphas_cumprod, steps: int, spacing: str):
+    """Descending DPM-Solver knot list `[T-1, ..., -1]` for a discrete
+    schedule (host-side; consumed at trace time).
+
+    spacing='time': DDIM's uniform-in-t linspace grid (reference :409-411),
+    kept verbatim for step-count comparability — including its duplicate
+    knots when steps approaches T (the reference's own behaviour).
+
+    spacing='lambda': uniform in half-log-SNR lambda(t); interior knots land
+    on the discrete t nearest each lambda target, forced strictly
+    decreasing. A knot that would collide at the t=0 floor is DROPPED
+    rather than duplicated — a duplicate pair has h == 0, i.e. a
+    full-cost model eval that returns x unchanged — so the returned grid
+    may have fewer than steps+1 knots when steps approaches T.
+    """
+    ac = np.asarray(alphas_cumprod, np.float64)
+    total = len(ac)
+    if steps < 1:
+        raise ValueError(f"need at least one step, got {steps}")
+    if spacing == "lambda":
+        lam_all = 0.5 * np.log(ac / np.maximum(1.0 - ac, 1e-300))
+        targets = np.linspace(lam_all[total - 1], lam_all[0], steps + 1)
+        times = [total - 1]
+        for tg in targets[1:-1]:
+            tk = int(np.argmin(np.abs(lam_all - tg)))
+            tk = max(min(tk, times[-1] - 1), 0)
+            if tk < times[-1]:
+                times.append(tk)
+        times.append(-1)
+    elif spacing == "time":
+        times = np.linspace(-1, total - 1, steps + 1).astype(np.int64)
+        times = list(reversed(times.tolist()))
+    else:
+        raise ValueError(
+            f"step_spacing must be 'time' or 'lambda', got {spacing!r}"
+        )
+    return times
+
+
 @dataclasses.dataclass(frozen=True)
 class GaussianDiffusion:
     """Conditional DDPM with pred_noise / pred_x0 / pred_v parameterisations.
@@ -470,31 +509,7 @@ class GaussianDiffusion:
             )
 
         ac = np.asarray(self.schedule.alphas_cumprod, np.float64)
-
-        if step_spacing == "lambda":
-            # uniform in lambda(t) = log(alpha/sigma): place the interior
-            # knots at the discrete t whose lambda is nearest each target on
-            # a uniform [lambda(T-1), lambda(0)] grid, endpoints pinned to
-            # T-1 (the prior) and -1 (the x0 projection, same terminal the
-            # time grid uses). Strict monotonicity enforced so every pair
-            # advances (h > 0) even at step counts approaching T.
-            assert steps < total, (steps, total)
-            lam_all = 0.5 * np.log(ac / np.maximum(1.0 - ac, 1e-300))
-            targets = np.linspace(lam_all[total - 1], lam_all[0], steps + 1)
-            times = [total - 1]
-            for tg in targets[1:-1]:
-                tk = int(np.argmin(np.abs(lam_all - tg)))
-                times.append(max(min(tk, times[-1] - 1), 0))
-            times.append(-1)
-        elif step_spacing == "time":
-            # DDIM's grid (reference :409-411), so step counts are
-            # comparable; terminal pair handled by lambda(t=-1)=+inf
-            times = np.linspace(-1, total - 1, steps + 1).astype(np.int64)
-            times = list(reversed(times.tolist()))
-        else:
-            raise ValueError(
-                f"step_spacing must be 'time' or 'lambda', got {step_spacing!r}"
-            )
+        times = _dpm_step_grid(ac, steps, step_spacing)
         pairs = np.array(list(zip(times[:-1], times[1:])), np.int32)
 
         def lam(t_idx):  # log-SNR/2 at discrete t, with t=-1 -> clean data

@@ -418,7 +418,10 @@ class Trainer:
                 def trunk_fn(params, x, t, condition):
                     return trunk.apply({"params": params}, x, t, condition)
 
-            dpm_spacing = getattr(self.args, "dpm_spacing", "time")
+            # fallback matches the CLI default (the certified production
+            # grid) so args namespaces predating the flag get the same
+            # sampler the CLI ships
+            dpm_spacing = getattr(self.args, "dpm_spacing", "lambda")
 
             def fn(params, rng, condition):
                 if sampler == "dpm":

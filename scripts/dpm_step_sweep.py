@@ -71,9 +71,38 @@ def main(argv=None):
 
     print(json.dumps(result))
     if args.out:
+        merged = merge_into(args.out, result, args.spacing)
         with open(args.out, "w") as f:
-            json.dump(result, f, indent=1)
+            json.dump(merged, f, indent=1)
     return result
+
+
+def merge_into(out_path, result, spacing):
+    """Merge a single-spacing sweep into an existing artifact in place of
+    overwriting it: rows are keyed by (dpm_steps, spacing) — same-key rows
+    are replaced, other grids' rows and any hand-written top-level fields
+    (e.g. the 'production' block) are preserved. A fresh path just gets
+    `result` (with the per-spacing resume key)."""
+    result = dict(result)
+    resume = result.pop("resume", None)
+    result[f"resume_{spacing}"] = resume
+    if not os.path.exists(out_path):
+        return result
+    with open(out_path) as f:
+        old = json.load(f)
+    merged = dict(old)
+    rows = {}
+    for r in old.get("sweep", []):
+        rows[(r["dpm_steps"], r.get("spacing", "time"))] = r
+    for r in result["sweep"]:
+        rows[(r["dpm_steps"], r.get("spacing", "time"))] = r
+    merged["sweep"] = sorted(
+        rows.values(), key=lambda r: (r.get("spacing", "time"), -r["dpm_steps"])
+    )
+    merged[f"resume_{spacing}"] = resume
+    if result.get("ddim_kld_symmetric") is not None:
+        merged["ddim_kld_symmetric"] = result["ddim_kld_symmetric"]
+    return merged
 
 
 if __name__ == "__main__":

@@ -135,6 +135,19 @@ def test_check_fails_on_production_step_change(tmp_path):
     assert res.returncode == 1
 
 
+def test_check_fails_on_spacing_change(tmp_path):
+    """A changed certified step GRID (same steps, same rate) is a config
+    flip, never noise — the README's grid label would silently lie."""
+    old = dict(_BASE_REC, dpm_production_patches_per_sec=35.5,
+               dpm_production_steps=10, dpm_production_spacing="lambda")
+    new = dict(_BASE_REC, dpm_production_patches_per_sec=35.5,
+               dpm_production_steps=10, dpm_production_spacing="time")
+    root = _fake_root(tmp_path, old, new)
+    res = _run_check(root)
+    assert res.returncode == 1
+    assert "dpm_production_spacing changed" in res.stderr
+
+
 def test_check_fails_on_vanished_axis(tmp_path):
     """An axis the quoted capture published disappearing from the newest
     capture IS drift (a silently dropped bench leg)."""

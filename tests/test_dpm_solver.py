@@ -80,22 +80,46 @@ def test_lambda_spacing_converges_and_terminal():
 
 
 def test_lambda_spacing_grid_properties():
-    """The lambda grid is strictly decreasing T-1 -> -1 with `steps` pairs,
-    and its last model eval sits at a much lower t (higher log-SNR) than the
-    time-uniform grid's — the reason it wins at low step counts."""
-    ac = np.asarray(make_schedule("sigmoid2", 1000).alphas_cumprod, np.float64)
-    lam_all = 0.5 * np.log(ac / (1.0 - ac))
+    """The lambda grid (the sampler's own construction, _dpm_step_grid) is
+    strictly decreasing T-1 -> -1 with `steps` pairs, and its last model
+    eval sits at a much lower t (higher log-SNR) than the time-uniform
+    grid's — the reason it wins at low step counts."""
+    from noisediff_tpu.diffusion.gaussian import _dpm_step_grid
+
+    ac = make_schedule("sigmoid2", 1000).alphas_cumprod
     steps = 15
-    targets = np.linspace(lam_all[999], lam_all[0], steps + 1)
-    times = [999]
-    for tg in targets[1:-1]:
-        tk = int(np.argmin(np.abs(lam_all - tg)))
-        times.append(max(min(tk, times[-1] - 1), 0))
-    times.append(-1)
+    times = _dpm_step_grid(ac, steps, "lambda")
     assert len(times) == steps + 1
+    assert times[0] == 999 and times[-1] == -1
     assert all(a > b for a, b in zip(times, times[1:])), times
     t_uniform_last = int(np.linspace(-1, 999, steps + 1)[1])  # ~65
     assert times[-2] < t_uniform_last, (times[-2], t_uniform_last)
+
+
+def test_lambda_grid_never_emits_duplicate_knots():
+    """At step counts approaching (or exceeding) T, lambda-target knots
+    collide at the low-t floor; the grid must DROP them (a duplicate pair
+    has h == 0: a full-cost model eval returning x unchanged), staying
+    strictly decreasing for every schedule family."""
+    from noisediff_tpu.diffusion.gaussian import _dpm_step_grid
+
+    for name, T in (("sigmoid2", 1000), ("linear", 64), ("cosine", 256)):
+        ac = make_schedule(name, T).alphas_cumprod
+        for steps in (T // 2, T - 1, T, T + 50):
+            times = _dpm_step_grid(ac, steps, "lambda")
+            assert times[0] == T - 1 and times[-1] == -1, (name, steps)
+            assert all(a > b for a, b in zip(times, times[1:])), (
+                name, steps, times[-6:],
+            )
+            assert len(times) <= steps + 1
+
+    # the sampler itself runs on a deduped (collision-heavy) grid
+    gd = _gd(lambda p, x, t, c: jnp.full_like(x, 0.25), T=64)
+    out = np.asarray(
+        gd.dpm_solver_sample({}, jax.random.PRNGKey(0), (1, 8, 8, 4), None,
+                             sampling_timesteps=60, step_spacing="lambda")
+    )
+    np.testing.assert_allclose(out, 0.25, rtol=1e-3, atol=1e-3)
 
 
 def test_lambda_spacing_matches_time_spacing_at_high_steps():

@@ -46,6 +46,48 @@ def test_run_generation_forwards_sampler_flags(monkeypatch, tmp_path):
     assert "--dpm_spacing" not in seen["argv"]
 
 
+def test_step_sweep_merge_preserves_other_grid_and_production(tmp_path):
+    """dpm_step_sweep --out must MERGE into an existing artifact: rows of
+    the other grid and the hand-certified 'production' block survive a
+    re-run; same-(steps, spacing) rows are replaced."""
+    import json
+
+    import dpm_step_sweep as dss
+
+    out = tmp_path / "sweep.json"
+    out.write_text(json.dumps({
+        "scale": "tpu",
+        "resume_time": "/old/ckpt",
+        "ddim_kld_symmetric": 0.031,
+        "sweep": [
+            {"dpm_steps": 15, "spacing": "time", "kld_symmetric": 0.026},
+            {"dpm_steps": 10, "spacing": "lambda", "kld_symmetric": 0.011},
+        ],
+        "production": {"dpm_steps": 10, "spacing": "lambda"},
+    }))
+    result = {
+        "scale": "tpu", "resume": "/new/ckpt", "spacing": "lambda",
+        "ddim_kld_symmetric": 0.032,
+        "sweep": [
+            {"dpm_steps": 10, "spacing": "lambda", "kld_symmetric": 0.012},
+            {"dpm_steps": 8, "spacing": "lambda", "kld_symmetric": 0.030},
+        ],
+    }
+    merged = dss.merge_into(str(out), result, "lambda")
+    keyed = {(r["dpm_steps"], r["spacing"]): r for r in merged["sweep"]}
+    assert keyed[(15, "time")]["kld_symmetric"] == 0.026  # other grid kept
+    assert keyed[(10, "lambda")]["kld_symmetric"] == 0.012  # replaced
+    assert keyed[(8, "lambda")]["kld_symmetric"] == 0.030  # appended
+    assert merged["production"] == {"dpm_steps": 10, "spacing": "lambda"}
+    assert merged["resume_lambda"] == "/new/ckpt"
+    assert merged["resume_time"] == "/old/ckpt"
+    assert merged["ddim_kld_symmetric"] == 0.032
+
+    # fresh path: plain result with the per-spacing resume key
+    fresh = dss.merge_into(str(tmp_path / "none.json"), dict(result), "lambda")
+    assert fresh["resume_lambda"] == "/new/ckpt" and "resume" not in fresh
+
+
 def test_restamp_dpm_patches_only_dpm_fields(monkeypatch, tmp_path):
     import learning_gate as lg
 
